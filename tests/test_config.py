@@ -1,0 +1,93 @@
+import pytest
+
+from pipelinerl_tpu.config import Config, MissingValueError, compose
+
+
+def write(tmp_path, rel, text):
+    path = tmp_path / rel
+    path.parent.mkdir(parents=True, exist_ok=True)
+    path.write_text(text)
+
+
+def test_attr_access_and_set():
+    cfg = Config({"a": {"b": 1}})
+    assert cfg.a.b == 1
+    cfg.a.b = 2  # attribute write mutates the shared underlying dict
+    assert cfg.select("a.b") == 2
+    cfg.set_dotted("a.c.d", 5)
+    assert cfg.a.c.d == 5
+
+
+def test_missing_value():
+    cfg = Config({"output_dir": "???"})
+    with pytest.raises(MissingValueError):
+        _ = cfg.output_dir
+    assert cfg.get("output_dir", "x") == "x"
+
+
+def test_interpolation():
+    cfg = Config(
+        {
+            "seed": 42,
+            "finetune": {"seed": "${seed}", "name": "run-${seed}"},
+        }
+    )
+    resolved = cfg.resolve()
+    assert resolved.finetune.seed == 42  # type preserved
+    assert resolved.finetune.name == "run-42"
+
+
+def test_compose_defaults_and_overrides(tmp_path):
+    write(
+        tmp_path,
+        "base.yaml",
+        """
+defaults:
+  - finetune: base
+  - _self_
+seed: 7
+finetune:
+  lr: 1e-6
+""",
+    )
+    write(
+        tmp_path,
+        "finetune/base.yaml",
+        """
+lr: 1e-3
+steps: 10
+""",
+    )
+    cfg = compose(tmp_path, "base", overrides=["finetune.steps=20", "+extra.key=hi"])
+    assert cfg.seed == 7
+    assert cfg.finetune.lr == 1e-6  # _self_ overrides the group default
+    assert cfg.finetune.steps == 20
+    assert cfg.extra.key == "hi"
+
+
+def test_compose_experiment_override(tmp_path):
+    write(tmp_path, "base.yaml", "a: 1\nb: {c: 2}\n")
+    write(
+        tmp_path,
+        "exp.yaml",
+        """
+defaults:
+  - base
+  - _self_
+b:
+  c: 3
+""",
+    )
+    cfg = compose(tmp_path, "exp")
+    assert cfg.a == 1
+    assert cfg.b.c == 3
+
+
+def test_save_roundtrip(tmp_path):
+    cfg = Config({"x": [1, 2, {"y": "z"}], "n": None})
+    path = tmp_path / "out" / "cfg.yaml"
+    cfg.save(path)
+    from pipelinerl_tpu.config import load_yaml_file
+
+    loaded = load_yaml_file(path)
+    assert loaded.to_dict() == cfg.to_dict()

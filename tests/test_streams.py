@@ -1,0 +1,89 @@
+import threading
+import time
+
+import pytest
+
+from pipelinerl_tpu.streams import (
+    RangeStreamWriter,
+    SingleStreamSpec,
+    StreamRangeSpec,
+    StreamReader,
+    StreamWriter,
+    reset_memory_streams,
+    stream_file_path,
+)
+
+
+@pytest.fixture(params=["files", "memory"])
+def backend(request):
+    reset_memory_streams()
+    return request.param
+
+
+def test_write_read_available(tmp_path, backend):
+    spec = SingleStreamSpec(str(tmp_path), "actor")
+    with StreamWriter(spec, backend) as w:
+        for i in range(5):
+            w.write({"i": i})
+    reader = StreamReader(spec, backend)
+    msgs = list(reader.read_available())
+    assert [m["i"] for m in msgs] == list(range(5))
+    # nothing new
+    assert list(reader.read_available()) == []
+    # append more → reader picks up from where it left
+    with StreamWriter(spec, backend) as w:
+        w.write({"i": 5})
+    assert [m["i"] for m in reader.read_available()] == [5]
+
+
+def test_torn_line_not_consumed(tmp_path):
+    spec = SingleStreamSpec(str(tmp_path), "actor")
+    path = stream_file_path(spec)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "w") as f:
+        f.write('{"i": 0}\n{"i": 1')  # torn second line
+    reader = StreamReader(spec, "files")
+    assert [m["i"] for m in reader.read_available()] == [0]
+    with open(path, "a") as f:
+        f.write("}\n")
+    assert [m["i"] for m in reader.read_available()] == [1]
+
+
+def test_blocking_read_follows(tmp_path, backend):
+    spec = SingleStreamSpec(str(tmp_path), "t")
+    reader = StreamReader(spec, backend, poll_interval=0.01)
+    got = []
+
+    def consume():
+        for msg in reader.read():
+            got.append(msg["i"])
+            if msg["i"] == 2:
+                reader.stop()
+                break
+
+    t = threading.Thread(target=consume)
+    t.start()
+    with StreamWriter(spec, backend) as w:
+        for i in range(3):
+            w.write({"i": i})
+            time.sleep(0.02)
+    t.join(timeout=5)
+    assert got == [0, 1, 2]
+
+
+def test_round_robin_partitions(tmp_path, backend):
+    spec = StreamRangeSpec(str(tmp_path), "training_data", partitions=(0, 1, 2))
+    with RangeStreamWriter(spec, backend) as w:
+        for i in range(6):
+            w.write({"i": i})
+    for p in range(3):
+        reader = StreamReader(spec.single(p), backend)
+        assert [m["i"] for m in reader.read_available()] == [p, p + 3]
+
+
+def test_explicit_partition(tmp_path, backend):
+    spec = StreamRangeSpec(str(tmp_path), "training_data", partitions=(0, 1))
+    with RangeStreamWriter(spec, backend) as w:
+        w.write({"i": 100}, partition=1)
+    assert list(StreamReader(spec.single(0), backend).read_available()) == []
+    assert [m["i"] for m in StreamReader(spec.single(1), backend).read_available()] == [100]
