@@ -1,0 +1,252 @@
+"""Functional decoder-only transformer for the Qwen2/Qwen3/Llama families.
+
+TPU-first design decisions (vs the reference's HF-transformers torch models,
+/root/reference/pipelinerl/finetune/checkpoints.py:151-222):
+
+- **Pure pytree params + ``lax.scan`` over stacked layers**: one compiled
+  layer body regardless of depth; layer params carry a leading layer dim.
+- **Packed rows, static shapes**: the training/prefill forward consumes
+  [B, L] with segment ids; positions restart per sequence. No attention-mask
+  tensors — masking is derived from segment/position ids inside the op.
+- **FP32 output head**: the final ``lm_head`` matmul and logits are fp32 on
+  both trainer and sampler, reproducing the reference's bf16-with-fp32-head
+  contract (vllm_quantization.py:128-209, finetune/checkpoints.py:44-105) so
+  sampling logprobs match training logprobs bit-for-bit across stages.
+- **Decode is scatter-free inside the layer scan**: the new token's K/V ride
+  alongside the cache (see ops/attention.decode_attention); the engine
+  scatters the stacked per-layer K/V into the cache once per step.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.attention import decode_attention, mha_packed
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    vocab_size: int
+    hidden_size: int
+    intermediate_size: int
+    num_layers: int
+    num_heads: int
+    num_kv_heads: int
+    head_dim: int | None = None
+    rope_theta: float = 10_000.0
+    rms_norm_eps: float = 1e-6
+    attention_bias: bool = False  # True for Qwen2-family q/k/v projections
+    qk_norm: bool = False  # True for Qwen3 per-head q/k RMSNorm
+    tie_word_embeddings: bool = False
+    dtype: Any = jnp.bfloat16
+    # name of the HF architecture this config was imported from (if any)
+    hf_architecture: str | None = None
+
+    @property
+    def head_dim_(self) -> int:
+        return self.head_dim or self.hidden_size // self.num_heads
+
+    @property
+    def q_dim(self) -> int:
+        return self.num_heads * self.head_dim_
+
+    @property
+    def kv_dim(self) -> int:
+        return self.num_kv_heads * self.head_dim_
+
+
+def init_params(rng: jax.Array, cfg: ModelConfig) -> dict:
+    """Random init (scaled normal) — used by tests and from-scratch training."""
+    keys = jax.random.split(rng, 12)
+    D, F, V = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
+    L, Dh = cfg.num_layers, cfg.head_dim_
+    dt = cfg.dtype
+
+    def normal(key, shape, scale):
+        return (jax.random.normal(key, shape, jnp.float32) * scale).astype(dt)
+
+    layers = {
+        "ln1": jnp.ones((L, D), dt),
+        "ln2": jnp.ones((L, D), dt),
+        "wq": normal(keys[0], (L, D, cfg.q_dim), D**-0.5),
+        "wk": normal(keys[1], (L, D, cfg.kv_dim), D**-0.5),
+        "wv": normal(keys[2], (L, D, cfg.kv_dim), D**-0.5),
+        "wo": normal(keys[3], (L, cfg.q_dim, D), cfg.q_dim**-0.5),
+        "wgate": normal(keys[4], (L, D, F), D**-0.5),
+        "wup": normal(keys[5], (L, D, F), D**-0.5),
+        "wdown": normal(keys[6], (L, F, D), F**-0.5),
+    }
+    if cfg.attention_bias:
+        layers["bq"] = jnp.zeros((L, cfg.q_dim), dt)
+        layers["bk"] = jnp.zeros((L, cfg.kv_dim), dt)
+        layers["bv"] = jnp.zeros((L, cfg.kv_dim), dt)
+    if cfg.qk_norm:
+        layers["q_norm"] = jnp.ones((L, Dh), dt)
+        layers["k_norm"] = jnp.ones((L, Dh), dt)
+    params = {
+        "embed": normal(keys[7], (V, D), 0.02 / 0.02 * 0.02),
+        "layers": layers,
+        "final_norm": jnp.ones((D,), dt),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = normal(keys[8], (D, V), D**-0.5)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# building blocks
+# ---------------------------------------------------------------------------
+
+
+def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    normed = xf * jax.lax.rsqrt(var + eps)
+    return (normed * weight.astype(jnp.float32)).astype(x.dtype)
+
+
+def rope_cos_sin(
+    positions: jnp.ndarray, head_dim: int, theta: float
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """cos/sin tables [.., head_dim] in the HF rotate-half layout."""
+    inv_freq = 1.0 / (
+        theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
+    )
+    angles = positions.astype(jnp.float32)[..., None] * inv_freq  # [..., Dh/2]
+    emb = jnp.concatenate([angles, angles], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def apply_rope(
+    x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray
+) -> jnp.ndarray:
+    """x: [..., heads, Dh]; cos/sin: broadcastable [..., Dh] (no head dim)."""
+    xf = x.astype(jnp.float32)
+    half = x.shape[-1] // 2
+    x1, x2 = xf[..., :half], xf[..., half:]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    cos = cos[..., None, :]
+    sin = sin[..., None, :]
+    return (xf * cos + rotated * sin).astype(x.dtype)
+
+
+def _project_qkv(layer: dict, cfg: ModelConfig, x: jnp.ndarray):
+    """x: [..., D] → q [..., H, Dh], k/v [..., K, Dh]."""
+    q = x @ layer["wq"]
+    k = x @ layer["wk"]
+    v = x @ layer["wv"]
+    if "bq" in layer:
+        q = q + layer["bq"]
+        k = k + layer["bk"]
+        v = v + layer["bv"]
+    Dh = cfg.head_dim_
+    q = q.reshape(*x.shape[:-1], cfg.num_heads, Dh)
+    k = k.reshape(*x.shape[:-1], cfg.num_kv_heads, Dh)
+    v = v.reshape(*x.shape[:-1], cfg.num_kv_heads, Dh)
+    if cfg.qk_norm:
+        q = rms_norm(q, layer["q_norm"], cfg.rms_norm_eps)
+        k = rms_norm(k, layer["k_norm"], cfg.rms_norm_eps)
+    return q, k, v
+
+
+def _mlp(layer: dict, x: jnp.ndarray) -> jnp.ndarray:
+    return (jax.nn.silu(x @ layer["wgate"]) * (x @ layer["wup"])) @ layer["wdown"]
+
+
+def unembed(params: dict, cfg: ModelConfig, x: jnp.ndarray) -> jnp.ndarray:
+    """Final norm + FP32 lm_head. Returns fp32 logits."""
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    if cfg.tie_word_embeddings:
+        w = params["embed"].astype(jnp.float32).T
+    else:
+        w = params["lm_head"].astype(jnp.float32)
+    return jnp.dot(x.astype(jnp.float32), w, preferred_element_type=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# forward (training / prefill)
+# ---------------------------------------------------------------------------
+
+
+def forward(
+    params: dict,
+    cfg: ModelConfig,
+    input_ids: jnp.ndarray,  # [B, L]
+    position_ids: jnp.ndarray,  # [B, L]
+    segment_ids: jnp.ndarray,  # [B, L]
+    return_kv: bool = False,
+    remat: bool = False,
+    return_hidden: bool = False,
+):
+    """Full forward over a packed row. Returns fp32 logits [B, L, V]; with
+    ``return_kv`` also the per-layer keys/values [L, B, T, K, Dh] (prefill)."""
+    x = jnp.take(params["embed"], input_ids, axis=0)
+    cos, sin = rope_cos_sin(position_ids, cfg.head_dim_, cfg.rope_theta)
+
+    def layer_fn(h, layer):
+        normed = rms_norm(h, layer["ln1"], cfg.rms_norm_eps)
+        q, k, v = _project_qkv(layer, cfg, normed)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        attn = mha_packed(q, k, v, segment_ids, position_ids)
+        attn_flat = attn.reshape(*h.shape[:-1], cfg.q_dim)
+        h = h + attn_flat @ layer["wo"]
+        h = h + _mlp(layer, rms_norm(h, layer["ln2"], cfg.rms_norm_eps))
+        return h, (k, v) if return_kv else None
+
+    if remat:
+        layer_fn = jax.checkpoint(layer_fn)
+    x, kv = jax.lax.scan(layer_fn, x, params["layers"])
+    hidden = x
+    logits = unembed(params, cfg, x)
+    outs = [logits]
+    if return_kv:
+        outs.append(kv)
+    if return_hidden:
+        outs.append(hidden)
+    return outs[0] if len(outs) == 1 else tuple(outs)
+
+
+# ---------------------------------------------------------------------------
+# decode step (inference hot path)
+# ---------------------------------------------------------------------------
+
+
+def decode_step(
+    params: dict,
+    cfg: ModelConfig,
+    tokens: jnp.ndarray,  # [S] — current token per slot
+    positions: jnp.ndarray,  # [S] — its position per slot
+    k_cache: jnp.ndarray,  # [L, S, T, K, Dh]
+    v_cache: jnp.ndarray,  # [L, S, T, K, Dh]
+    cache_lens: jnp.ndarray,  # [S] — number of cached tokens per slot
+):
+    """One decode step for all slots. Returns (fp32 logits [S, V],
+    k_new [L, S, K, Dh], v_new [L, S, K, Dh]); the caller scatters the new
+    K/V into the cache at ``cache_lens`` and bumps the lengths."""
+    x = jnp.take(params["embed"], tokens, axis=0)  # [S, D]
+    cos, sin = rope_cos_sin(positions, cfg.head_dim_, cfg.rope_theta)  # [S, Dh]
+
+    def layer_fn(h, inputs):
+        layer, kc, vc = inputs
+        normed = rms_norm(h, layer["ln1"], cfg.rms_norm_eps)
+        q, k, v = _project_qkv(layer, cfg, normed)  # [S, H/K, Dh]
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        attn = decode_attention(q, k, v, kc, vc, cache_lens)
+        h = h + attn.reshape(h.shape[0], cfg.q_dim) @ layer["wo"]
+        h = h + _mlp(layer, rms_norm(h, layer["ln2"], cfg.rms_norm_eps))
+        return h, (k, v)
+
+    x, (k_new, v_new) = jax.lax.scan(layer_fn, x, (params["layers"], k_cache, v_cache))
+    logits = unembed(params, cfg, x)
+    return logits, k_new, v_new
+
+
+def param_count(params: dict) -> int:
+    return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
