@@ -1,0 +1,215 @@
+"""Tests of the JAX RL losses against independent numpy derivations."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pipelinerl_tpu.train.advantages import populate_rl_data, prepare_rl_fields
+from pipelinerl_tpu.train.packing import make_sentinel_batch, pack_samples
+from pipelinerl_tpu.train.rl_loss import (
+    RLLossConfig,
+    rl_loss,
+    rl_loss_from_logits,
+    token_logprobs_from_logits,
+)
+from pipelinerl_tpu.models.transformer import ModelConfig, init_params
+from pipelinerl_tpu.types import MASKED_TOKEN_ID
+
+EOS = 9
+V = 11  # small vocab
+
+
+def make_packed_batch(seq_length=24, rewards=(1.0, 0.0)):
+    samples = []
+    for i, r in enumerate(rewards):
+        n_prompt, n_out = 2, 4
+        ids = list((np.arange(n_prompt + n_out) + i) % V)
+        labels = [MASKED_TOKEN_ID] * n_prompt + ids[n_prompt:]
+        samples.append(
+            prepare_rl_fields(
+                {
+                    "input_ids": ids,
+                    "labels": labels,
+                    "reward": r,
+                    "logprobs": [-0.4 - 0.1 * i] * n_out,
+                    "group_id": "g",
+                    "rollout_index": i,
+                    "step_index": 0,
+                    "finished": True,
+                    "model_version": 0,
+                }
+            )
+        )
+    populate_rl_data(samples, EOS)
+    batch = pack_samples(samples, seq_length, EOS)
+    return {
+        name: jnp.asarray(arr) for name, arr in batch.arrays().items()
+    }
+
+
+def np_ref_loss(logits, batch, cfg: RLLossConfig):
+    """Independent numpy derivation of the REINFORCE/PPO objective."""
+    logits = np.asarray(logits, np.float64)[:, :-1] / cfg.temperature
+    ids = np.asarray(batch["input_ids"])
+    labels = np.asarray(batch["labels"])
+    mask = (labels != -100)[:, 1:].astype(np.float64)
+    targets = ids[:, 1:]
+    lse = np.log(np.exp(logits).sum(-1))
+    new_lp = np.take_along_axis(logits, targets[..., None], -1)[..., 0] - lse
+    old_lp = np.asarray(batch["old_logprobs"])[:, 1:]
+    adv = np.asarray(batch["advantages"])[:, 1:]
+    ratio = np.exp(new_lp - old_lp)
+    w = 1.0 / cfg.batch_size
+    if cfg.policy_loss == "reinforce":
+        pol = new_lp * adv * np.clip(ratio, 0, 1 + cfg.epsilon_high)
+    else:  # ppo
+        pol = np.minimum(
+            ratio * adv, np.clip(ratio, 1 - cfg.epsilon_low, 1 + cfg.epsilon_high) * adv
+        )
+    return -(pol * w * mask).sum()
+
+
+@pytest.mark.parametrize("policy", ["reinforce", "ppo"])
+def test_loss_matches_numpy(policy):
+    batch = make_packed_batch()
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.normal(size=(1, 24, V)), jnp.float32)
+    cfg = RLLossConfig(policy_loss=policy, batch_size=2)
+    loss, metrics = rl_loss_from_logits(logits, batch, jnp.zeros(()), 100, cfg)
+    expected = np_ref_loss(logits, batch, cfg)
+    assert float(loss) == pytest.approx(expected, rel=1e-5)
+    assert np.isfinite(float(loss))
+    # 8 output tokens minus 2 first-of-segment masks... labels mask the first
+    # target of each segment during packing, so count from the batch itself
+    n_out = int((np.asarray(batch["labels"]) != -100)[:, 1:].sum())
+    assert float(metrics["num_output_tokens_sum"]) == n_out
+
+
+def test_kl_penalty_pulls_towards_ref():
+    batch = make_packed_batch()
+    rng = np.random.default_rng(1)
+    logits = jnp.asarray(rng.normal(size=(1, 24, V)), jnp.float32)
+    cfg0 = RLLossConfig(policy_loss="reinforce", batch_size=2, kl_coef=0.0, final_kl_coef=0.0)
+    cfg1 = RLLossConfig(policy_loss="reinforce", batch_size=2, kl_coef=1.0, final_kl_coef=1.0)
+    l0, m0 = rl_loss_from_logits(logits, batch, jnp.zeros(()), 10, cfg0)
+    l1, m1 = rl_loss_from_logits(logits, batch, jnp.zeros(()), 10, cfg1)
+    # kl metric is identical; loss must include +kl_coef * kl-ish term
+    assert float(m0["kl"]) == pytest.approx(float(m1["kl"]), rel=1e-6)
+    assert float(l1) > float(l0)  # ref_logprobs are 0 → kl > 0 penalty added
+
+
+def test_kl_coef_linear_decay():
+    batch = make_packed_batch()
+    logits = jnp.zeros((1, 24, V), jnp.float32)
+    cfg = RLLossConfig(policy_loss="reinforce", batch_size=2, kl_coef=1.0, final_kl_coef=0.0)
+    _, m_start = rl_loss_from_logits(logits, batch, jnp.zeros(()), 100, cfg)
+    _, m_mid = rl_loss_from_logits(logits, batch, jnp.asarray(50.0), 100, cfg)
+    assert float(m_start["kl_coef"]) == pytest.approx(1.0)
+    assert float(m_mid["kl_coef"]) == pytest.approx(0.5)
+
+
+def test_gspo_segment_loss():
+    batch = make_packed_batch()
+    rng = np.random.default_rng(2)
+    logits = jnp.asarray(rng.normal(size=(1, 24, V)) * 0.1, jnp.float32)
+    cfg = RLLossConfig(policy_loss="gspo", batch_size=2, max_segments=8)
+    loss, metrics = rl_loss_from_logits(logits, batch, jnp.zeros(()), 100, cfg)
+
+    # numpy derivation: per-segment mean log-ratio → sequence ratio
+    ids = np.asarray(batch["input_ids"])
+    labels = np.asarray(batch["labels"])
+    seg = np.asarray(batch["segment_ids"])[0, 1:]
+    mask = (labels != -100)[:, 1:][0].astype(np.float64)
+    lg = np.asarray(logits, np.float64)[:, :-1]
+    lse = np.log(np.exp(lg).sum(-1))
+    new_lp = (np.take_along_axis(lg, ids[:, 1:][..., None], -1)[..., 0] - lse)[0]
+    old_lp = np.asarray(batch["old_logprobs"])[0, 1:]
+    adv = np.asarray(batch["advantages"])[0, 1:]
+    w = np.full_like(adv, 1.0 / 2)
+    expected = 0.0
+    for s in range(8):
+        m = (seg == s) & (mask > 0)
+        if not m.any():
+            continue
+        lr_mean = (new_lp[m] - old_lp[m]).mean()
+        adv_mean = adv[m].mean()
+        ratio = np.exp(lr_mean)
+        clipped = np.clip(ratio, 1 - cfg.epsilon_low, 1 + cfg.epsilon_high)
+        expected -= min(ratio * adv_mean, clipped * adv_mean) * w[m].sum()
+    assert float(loss) == pytest.approx(expected, rel=1e-4)
+
+
+def test_sentinel_zeroes_loss_and_grad():
+    model_cfg = ModelConfig(
+        vocab_size=32, hidden_size=16, intermediate_size=32, num_layers=2,
+        num_heads=2, num_kv_heads=2, dtype=jnp.float32,
+    )
+    params = init_params(jax.random.key(0), model_cfg)
+    batch_obj = make_sentinel_batch(16, EOS)
+    batch = {k: jnp.asarray(v) for k, v in batch_obj.arrays().items()}
+    cfg = RLLossConfig(policy_loss="reinforce", batch_size=2)
+
+    def loss_fn(p, sentinel):
+        loss, _ = rl_loss(
+            p, model_cfg, cfg, batch, jnp.zeros(()), 10, sentinel, remat=False
+        )
+        return loss
+
+    loss, grads = jax.value_and_grad(loss_fn)(params, jnp.asarray(1.0))
+    assert float(loss) == 0.0
+    assert all(np.allclose(np.asarray(g), 0) for g in jax.tree.leaves(grads))
+
+
+def test_grad_direction_reinforce():
+    """Positive-advantage tokens must get their logprob increased."""
+    model_cfg = ModelConfig(
+        vocab_size=16, hidden_size=16, intermediate_size=32, num_layers=1,
+        num_heads=2, num_kv_heads=2, dtype=jnp.float32,
+    )
+    params = init_params(jax.random.key(1), model_cfg)
+    batch = make_packed_batch(seq_length=16, rewards=(1.0, 0.0))
+    cfg = RLLossConfig(policy_loss="reinforce", batch_size=2)
+
+    def loss_fn(p):
+        loss, _ = rl_loss(p, model_cfg, cfg, batch, jnp.zeros(()), 10, jnp.asarray(0.0), remat=False)
+        return loss
+
+    grads = jax.grad(loss_fn)(params)
+    # apply a small SGD step against the gradient and check the winning
+    # sequence's logprob goes up
+    lr = 1e-3  # small enough not to overshoot on this tiny model
+    new_params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
+
+    from pipelinerl_tpu.models.transformer import forward
+
+    def seq_logprob(p):
+        logits = forward(
+            p, model_cfg, batch["input_ids"], batch["position_ids"], batch["segment_ids"]
+        )
+        lp = token_logprobs_from_logits(logits, batch["input_ids"], 1.0)
+        mask = (np.asarray(batch["labels"]) != -100)[:, 1:]
+        seg = np.asarray(batch["segment_ids"])[:, 1:]
+        win = float((np.asarray(lp) * mask * (seg == 0)).sum())
+        lose = float((np.asarray(lp) * mask * (seg == 1)).sum())
+        return win, lose
+
+    win0, lose0 = seq_logprob(params)
+    win1, lose1 = seq_logprob(new_params)
+    assert win1 > win0  # reward 1.0 → positive advantage → logprob up
+    assert lose1 < lose0  # reward 0.0 → negative advantage → logprob down
+
+
+def test_ess_ingredients():
+    batch = make_packed_batch()
+    logits = jnp.zeros((1, 24, V), jnp.float32)
+    cfg = RLLossConfig(policy_loss="reinforce", batch_size=2)
+    _, m = rl_loss_from_logits(logits, batch, jnp.zeros(()), 10, cfg)
+    n = float(m["num_output_tokens_sum"])
+    # uniform logits → new_lp = -log(V); old_lp = -0.4/-0.5 per sequence
+    ratio_sum = float(m["ratio_new_old_sum"])
+    ratio_sq = float(m["ratio_new_old_squared_sum"])
+    assert ratio_sum > 0 and ratio_sq > 0
+    ess = ratio_sum**2 / ratio_sq
+    assert 0 < ess <= n * (1 + 1e-6)
