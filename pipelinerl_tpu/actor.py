@@ -1,0 +1,270 @@
+"""Actor: schedules grouped rollouts against inference engines with lag
+control, stamps samples with weight versions, publishes stats.
+
+Re-design of the reference actor (/root/reference/pipelinerl/actor.py) as a
+single-process asyncio scheduler (the reference fans out to subprocess
+rollout workers because HTTP clients are CPU-bound; the in-process client is
+not, so coroutines suffice — HTTP mode can still spread actors over hosts).
+
+Semantics preserved:
+- each problem spawns a *group* of ``attempts`` rollouts (GRPO group,
+  actor.py:176-230); the group is written to the ``actor`` stream only when
+  complete, shuffled;
+- least-busy engine selection with a per-engine in-flight cap
+  (actor.py:268-273);
+- lag control: with ``finetune.max_lag`` set, at most
+  ``ceil(max_lag/attempts) + ceil(update_size/attempts)`` groups may be
+  submitted per weight version, budget refilled on each version bump
+  (actor.py:510-577);
+- samples stamped with the trainer weight version observed at scheduling
+  time; rollout-level retries with exponential backoff (actor.py:146-208).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+import math
+import random
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any, Callable, Sequence
+
+from .config import Config
+from .inference.client import BaseLLM
+from .state import TrainerState
+from .streams import SingleStreamSpec, StreamWriter
+from .train.advantages import training_text_to_sample
+from .types import RolloutResult
+from .utils import SlidingWindowAggregator, calculate_stats
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class ActorStats:
+    groups_completed: int = 0
+    rollouts_completed: int = 0
+    samples_written: int = 0
+    output_tokens: int = 0
+    metrics: dict[str, list[float]] = field(default_factory=dict)
+
+    def record_rollout(self, result: RolloutResult) -> None:
+        self.rollouts_completed += 1
+        for name, value in result.metrics.model_dump().items():
+            if isinstance(value, bool):
+                value = float(value)
+            if isinstance(value, (int, float)):
+                self.metrics.setdefault(name, []).append(float(value))
+
+    def snapshot(self) -> dict[str, Any]:
+        """Windowed stats: metric buffers drain on publish so each snapshot
+        covers only the rollouts since the previous one."""
+        out: dict[str, Any] = {
+            "groups_completed": self.groups_completed,
+            "rollouts_completed": self.rollouts_completed,
+            "samples_written": self.samples_written,
+            "output_tokens": self.output_tokens,
+        }
+        for name, values in self.metrics.items():
+            for stat, val in calculate_stats(values).items():
+                out[f"{name}_{stat}"] = val
+        self.metrics = {}
+        return out
+
+
+class ActorLoop:
+    def __init__(
+        self,
+        cfg: Config,
+        llms: Sequence[BaseLLM],
+        problems: Sequence[dict],
+        trainer_state: TrainerState,
+        exp_path: str,
+        rollout_policy: Callable,
+        is_training: bool = True,
+    ):
+        self.cfg = cfg
+        self.llms = list(llms)
+        self.problems = list(problems)
+        self.trainer_state = trainer_state
+        self.exp_path = exp_path
+        self.rollout_policy = rollout_policy
+        self.is_training = is_training
+        self.attempts = int(cfg.attempts) if is_training else int(cfg.get("test_attempts", 1))
+        self.stats = ActorStats()
+        self.tokens_window = SlidingWindowAggregator(
+            int(cfg.actor.get("throughput_window_size", 50))
+        )
+        self._active_per_llm = [0] * len(self.llms)
+        self._rng = random.Random(int(cfg.get("seed", 0)))
+
+        topic = "actor" if is_training else "actor_test"
+        self.data_spec = SingleStreamSpec(exp_path=exp_path, topic=topic)
+        self.stats_spec = SingleStreamSpec(
+            exp_path=exp_path, topic="stats" if is_training else "stats_test"
+        )
+
+    # -- lag budget (reference actor.py:510-534) ---------------------------
+    def _lag_budget(self) -> tuple[float, float]:
+        max_lag = self.cfg.finetune.get("max_lag")
+        if not self.is_training or max_lag is None:
+            return math.inf, 0
+        samples_per_step = int(self.cfg.finetune.samples_per_step)
+        # weight_update_interval is in samples (weight version ≡ cumulative
+        # samples, reference finetune_loop.py:948-949); round up to whole
+        # optimizer steps like the reference (actor.py:513-516)
+        update_interval = int(self.cfg.finetune.get("weight_update_interval", 1))
+        total_update_size = (
+            math.ceil(update_interval / samples_per_step) * samples_per_step
+        )
+        groups_per_update = math.ceil(total_update_size / self.attempts)
+        lag_groups = math.ceil(max_lag / self.attempts)
+        return lag_groups + groups_per_update, groups_per_update
+
+    def _pick_llm(self) -> int | None:
+        cap = int(self.cfg.actor.get("llm_max_rollouts", 64))
+        best, best_active = None, cap
+        for i, active in enumerate(self._active_per_llm):
+            if active < best_active:
+                best, best_active = i, active
+        return best
+
+    async def _run_one_rollout(self, problem: dict, group_id: str, rollout_idx: int) -> RolloutResult:
+        max_retries = int(self.cfg.actor.get("max_rollout_retries", 2))
+        attempt = 0
+        while True:
+            llm_idx = self._pick_llm()
+            while llm_idx is None:
+                await asyncio.sleep(0.01)
+                llm_idx = self._pick_llm()
+            self._active_per_llm[llm_idx] += 1
+            try:
+                result = await self.rollout_policy(
+                    self.cfg, self.llms[llm_idx], problem, None
+                )
+                break
+            except Exception:
+                attempt += 1
+                if max_retries >= 0 and attempt > max_retries:
+                    raise
+                logger.exception(
+                    "Rollout failed (attempt %d/%d); retrying", attempt, max_retries
+                )
+                await asyncio.sleep(min(2.0 ** attempt * 0.1, 5.0))
+            finally:
+                self._active_per_llm[llm_idx] -= 1
+        result.group_id = group_id
+        version = self.trainer_state.propagated_weight_version or 0
+        result.model_version = version
+        return result
+
+    async def _run_group(self, problem: dict) -> list[RolloutResult]:
+        group_id = str(uuid.uuid4())
+        tasks = [
+            asyncio.create_task(self._run_one_rollout(problem, group_id, i))
+            for i in range(self.attempts)
+        ]
+        try:
+            return await asyncio.gather(*tasks)
+        except Exception:
+            for t in tasks:
+                t.cancel()
+            raise
+
+    def _write_group(self, writer: StreamWriter, results: list[RolloutResult]) -> None:
+        samples = []
+        entries = []
+        for rollout_idx, result in enumerate(results):
+            for step_idx, text in enumerate(result.training_texts):
+                entries.append((result, rollout_idx, step_idx, text))
+        self._rng.shuffle(entries)
+        for result, rollout_idx, step_idx, text in entries:
+            text.group_id = result.group_id
+            sample = training_text_to_sample(
+                text,
+                model_version=result.model_version or 0,
+                rollout_index=rollout_idx,
+                step_index=step_idx,
+            )
+            sample["dataset_name"] = result.dataset_name
+            sample["domain"] = result.domain
+            samples.append(sample)
+            self.stats.output_tokens += text.output_tokens
+        writer.write(
+            {
+                "group_id": results[0].group_id,
+                "model_version": min(r.model_version or 0 for r in results),
+                "samples": samples,
+            }
+        )
+        self.stats.samples_written += len(samples)
+        self.stats.groups_completed += 1
+        self.tokens_window.update(time.monotonic(), sum(t[3].output_tokens for t in entries))
+
+    async def run(self, total_groups: int | None = None) -> ActorStats:
+        """Schedule groups until ``total_groups`` complete (or problems are
+        exhausted), respecting the lag budget."""
+        can_submit, groups_per_update = self._lag_budget()
+        last_version = self.trainer_state.propagated_weight_version or 0
+        submitted = 0
+        completed = 0
+        problem_iter = iter(self._problem_stream(total_groups))
+        in_flight: set[asyncio.Task] = set()
+        max_parallel = int(self.cfg.actor.get("max_parallel_groups", 16))
+        publish_every = int(self.cfg.actor.get("publish_stats_every_n_groups", 8))
+
+        with StreamWriter(self.data_spec) as writer, StreamWriter(self.stats_spec) as stats_writer:
+            exhausted = False
+            while not exhausted or in_flight:
+                version = self.trainer_state.propagated_weight_version or 0
+                if version > last_version:
+                    can_submit += groups_per_update
+                    last_version = version
+                while (
+                    not exhausted
+                    and len(in_flight) < max_parallel
+                    and submitted < can_submit
+                ):
+                    try:
+                        problem = next(problem_iter)
+                    except StopIteration:
+                        exhausted = True
+                        break
+                    in_flight.add(asyncio.create_task(self._run_group(problem)))
+                    submitted += 1
+                if not in_flight:
+                    if self.trainer_state.training_done:
+                        break
+                    await asyncio.sleep(0.01)
+                    continue
+                done, in_flight = await asyncio.wait(
+                    in_flight, return_when=asyncio.FIRST_COMPLETED, timeout=0.5
+                )
+                for task in done:
+                    results = task.result()
+                    for r in results:
+                        self.stats.record_rollout(r)
+                    self._write_group(writer, results)
+                    completed += 1
+                    if completed % publish_every == 0:
+                        snap = self.stats.snapshot()
+                        snap["output_tokens_per_second"] = self.tokens_window.rate_per_sec()
+                        stats_writer.write(snap)
+                if self.trainer_state.training_done:
+                    for task in in_flight:
+                        task.cancel()
+                    break
+        return self.stats
+
+    def _problem_stream(self, total_groups: int | None):
+        count = 0
+        while True:
+            for problem in self.problems:
+                if total_groups is not None and count >= total_groups:
+                    return
+                yield problem
+                count += 1
+            if total_groups is None:
+                return  # single epoch when unbounded

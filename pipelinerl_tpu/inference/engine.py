@@ -1,0 +1,435 @@
+"""TPU-resident continuous-batching inference engine.
+
+This replaces the reference's vLLM server (SURVEY.md §2.4): slot-based
+continuous batching under XLA *static shapes* — a fixed number of decode
+slots S, per-slot contiguous KV cache of capacity T, prefill bucketed to a
+few padded lengths. One compiled decode program serves every step; one
+compiled prefill program per bucket.
+
+Key differences from the reference design, by construction:
+
+- **In-flight weight updates never pause decoding** (the reference pauses
+  the vLLM engine per update, vllm1.py:155-182): ``update_params`` swaps the
+  param pytree pointer between decode steps; requests in flight continue on
+  the new weights, matching PipelineRL's in-flight-update semantics.
+- **Token-native**: prompts arrive as token ids and completions leave as
+  token ids + per-token processed logprobs, so the exact-tokenization
+  round-trip the reference reconstructs from HTTP text
+  (async_llm.py:215-346, ``token_id:1271`` parsing in llm.py:387-404) is
+  exact by construction.
+
+The engine runs its scheduling loop on a dedicated thread; ``submit``
+returns a ``concurrent.futures.Future`` and is thread-safe.
+"""
+
+from __future__ import annotations
+
+import logging
+import threading
+import time
+from collections import deque
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.transformer import ModelConfig, decode_step, forward
+from ..ops.sampling import sample_fast, sample_masked
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    max_slots: int = 8
+    max_len: int = 1024  # per-slot KV capacity (prompt + completion)
+    prefill_buckets: tuple[int, ...] = (64, 128, 256, 512, 1024)
+    seed: int = 0
+    cache_dtype: Any = jnp.bfloat16
+
+
+@dataclass
+class SamplingParams:
+    temperature: float = 1.0
+    top_p: float = 1.0
+    top_k: int = 0
+    max_tokens: int = 256
+    stop_token_ids: tuple[int, ...] = ()
+
+    @property
+    def needs_masking(self) -> bool:
+        return self.top_p < 1.0 or self.top_k > 0
+
+
+@dataclass
+class GenRequest:
+    prompt_ids: list[int]
+    params: SamplingParams
+    request_id: str = ""
+
+
+@dataclass
+class GenResult:
+    token_ids: list[int]  # completion tokens (stop token included)
+    logprobs: list[float]  # processed logprob per completion token
+    finish_reason: str  # "stop" | "length" | "abort"
+    model_version_start: int = 0
+    model_version_end: int = 0
+    prompt_tokens: int = 0
+
+
+@dataclass
+class _Slot:
+    request: GenRequest
+    future: Future
+    last_token: int
+    token_ids: list[int] = field(default_factory=list)
+    logprobs: list[float] = field(default_factory=list)
+    version_start: int = 0
+    max_new_tokens: int = 0
+
+
+class InferenceEngine:
+    def __init__(
+        self,
+        params: dict,
+        model_cfg: ModelConfig,
+        cfg: EngineConfig,
+        eos_token_id: int,
+        version: int = 0,
+    ):
+        self.model_cfg = model_cfg
+        self.cfg = cfg
+        self.eos_token_id = eos_token_id
+        self.params = params
+        self.version = version
+        self._pending_params: tuple[dict, int] | None = None
+        self._params_lock = threading.Lock()
+
+        S, T = cfg.max_slots, cfg.max_len
+        L = model_cfg.num_layers
+        K, Dh = model_cfg.num_kv_heads, model_cfg.head_dim_
+        cache_shape = (L, S, T, K, Dh)
+        self.k_cache = jnp.zeros(cache_shape, cfg.cache_dtype)
+        self.v_cache = jnp.zeros(cache_shape, cfg.cache_dtype)
+        self.cache_lens = jnp.zeros((S,), jnp.int32)
+
+        self._slots: list[_Slot | None] = [None] * S
+        self._queue: deque[tuple[GenRequest, Future]] = deque()
+        self._queue_lock = threading.Lock()
+        self._rng = jax.random.key(cfg.seed)
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+        self._work_event = threading.Event()
+
+        self.buckets = tuple(sorted(b for b in cfg.prefill_buckets if b <= T))
+        if not self.buckets or self.buckets[-1] < T:
+            self.buckets = self.buckets + (T,)
+
+        # perf counters
+        self.total_generated_tokens = 0
+        self.total_prefill_tokens = 0
+        self.decode_steps = 0
+
+        self._decode_fast = jax.jit(
+            partial(_decode_fn, model_cfg, False), donate_argnums=(1, 2)
+        )
+        self._decode_masked = jax.jit(
+            partial(_decode_fn, model_cfg, True), donate_argnums=(1, 2)
+        )
+        self._prefill = jax.jit(
+            partial(_prefill_fn, model_cfg), donate_argnums=(1, 2, 3)
+        )
+        self._score = jax.jit(partial(_score_fn, model_cfg))
+
+    # ------------------------------------------------------------------
+    # public API (thread-safe)
+    # ------------------------------------------------------------------
+    def submit(self, request: GenRequest) -> Future:
+        future: Future = Future()
+        prompt_len = len(request.prompt_ids)
+        if prompt_len == 0 or prompt_len >= self.cfg.max_len:
+            future.set_result(
+                GenResult([], [], "abort", self.version, self.version, prompt_len)
+            )
+            return future
+        with self._queue_lock:
+            self._queue.append((request, future))
+        self._work_event.set()
+        return future
+
+    def update_params(self, params: dict, version: int) -> None:
+        """Swap weights between decode steps — no pause, no drain."""
+        with self._params_lock:
+            self._pending_params = (params, version)
+        self._work_event.set()
+
+    def score_tokens(self, input_ids: Sequence[int], temperature: float = 1.0) -> list[float]:
+        """Teacher-forced per-token logprobs (positions 1..n-1) under the
+        current weights — the ref-logprob annotation path (reference
+        preprocess.py:86-104 via /v1/completions echo+logprobs)."""
+        n = len(input_ids)
+        bucket = next((b for b in self.buckets if b >= n), None)
+        if bucket is None:
+            raise ValueError(f"sequence of {n} tokens exceeds max bucket")
+        padded = np.zeros((1, bucket), np.int32)
+        padded[0, :n] = input_ids
+        lp = self._score(self.params, jnp.asarray(padded), temperature)
+        return np.asarray(lp)[0, : n - 1].tolist()
+
+    def start(self) -> None:
+        assert self._thread is None
+        self._thread = threading.Thread(target=self._run, daemon=True, name="engine-loop")
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        self._work_event.set()
+        if self._thread is not None:
+            self._thread.join(timeout=10)
+
+    @property
+    def num_active(self) -> int:
+        return sum(1 for s in self._slots if s is not None)
+
+    @property
+    def num_pending(self) -> int:
+        return len(self._queue)
+
+    # ------------------------------------------------------------------
+    # engine loop
+    # ------------------------------------------------------------------
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            did_work = self.step()
+            if not did_work:
+                self._work_event.wait(timeout=0.005)
+                self._work_event.clear()
+
+    def step(self) -> bool:
+        """One scheduling iteration: apply weight swap, admit, decode."""
+        self._maybe_swap_params()
+        admitted = self._admit()
+        decoded = self._decode()
+        return admitted or decoded
+
+    def _maybe_swap_params(self) -> None:
+        with self._params_lock:
+            pending = self._pending_params
+            self._pending_params = None
+        if pending is not None:
+            self.params, self.version = pending
+
+    def _next_rng(self) -> jax.Array:
+        self._rng, sub = jax.random.split(self._rng)
+        return sub
+
+    def _admit(self) -> bool:
+        admitted = False
+        while True:
+            free = next((i for i, s in enumerate(self._slots) if s is None), None)
+            if free is None:
+                return admitted
+            with self._queue_lock:
+                if not self._queue:
+                    return admitted
+                request, future = self._queue.popleft()
+            self._prefill_into_slot(free, request, future)
+            admitted = True
+
+    def _prefill_into_slot(self, slot: int, request: GenRequest, future: Future) -> None:
+        prompt = np.asarray(request.prompt_ids, np.int32)
+        n = len(prompt)
+        bucket = next(b for b in self.buckets if b >= n)
+        padded = np.zeros((1, bucket), np.int32)
+        padded[0, :n] = prompt
+        p = request.params
+        token, logprob, self.k_cache, self.v_cache, self.cache_lens = self._prefill(
+            self.params,
+            self.k_cache,
+            self.v_cache,
+            self.cache_lens,
+            jnp.asarray(padded),
+            jnp.asarray(n, jnp.int32),
+            jnp.asarray(slot, jnp.int32),
+            self._next_rng(),
+            jnp.asarray(p.temperature, jnp.float32),
+            jnp.asarray(p.top_p, jnp.float32),
+            jnp.asarray(p.top_k, jnp.int32),
+        )
+        self.total_prefill_tokens += n
+        token = int(token)
+        logprob = float(logprob)
+        max_new = min(p.max_tokens, self.cfg.max_len - n)
+        state = _Slot(
+            request=request,
+            future=future,
+            last_token=token,
+            token_ids=[token],
+            logprobs=[logprob],
+            version_start=self.version,
+            max_new_tokens=max_new,
+        )
+        self._slots[slot] = state
+        self.total_generated_tokens += 1
+        self._maybe_finish(slot, token)
+
+    def _stop_tokens(self, p: SamplingParams) -> tuple[int, ...]:
+        return (self.eos_token_id,) + tuple(p.stop_token_ids)
+
+    def _maybe_finish(self, slot: int, token: int) -> None:
+        state = self._slots[slot]
+        assert state is not None
+        p = state.request.params
+        finish = None
+        if token in self._stop_tokens(p):
+            finish = "stop"
+        elif len(state.token_ids) >= state.max_new_tokens:
+            finish = "length"
+        if finish is not None:
+            self._slots[slot] = None
+            state.future.set_result(
+                GenResult(
+                    token_ids=state.token_ids,
+                    logprobs=state.logprobs,
+                    finish_reason=finish,
+                    model_version_start=state.version_start,
+                    model_version_end=self.version,
+                    prompt_tokens=len(state.request.prompt_ids),
+                )
+            )
+
+    def _decode(self) -> bool:
+        S = self.cfg.max_slots
+        active = np.zeros(S, np.bool_)
+        tokens = np.zeros(S, np.int32)
+        temperature = np.ones(S, np.float32)
+        top_p = np.ones(S, np.float32)
+        top_k = np.zeros(S, np.int32)
+        needs_masking = False
+        for i, s in enumerate(self._slots):
+            if s is None:
+                continue
+            active[i] = True
+            tokens[i] = s.last_token
+            p = s.request.params
+            temperature[i] = p.temperature
+            top_p[i] = p.top_p
+            top_k[i] = p.top_k
+            needs_masking = needs_masking or p.needs_masking
+        if not active.any():
+            return False
+
+        fn = self._decode_masked if needs_masking else self._decode_fast
+        new_tokens, logprobs, self.k_cache, self.v_cache, self.cache_lens = fn(
+            self.params,
+            self.k_cache,
+            self.v_cache,
+            jnp.asarray(tokens),
+            jnp.asarray(active),
+            self.cache_lens,
+            self._next_rng(),
+            jnp.asarray(temperature),
+            jnp.asarray(top_p),
+            jnp.asarray(top_k),
+        )
+        new_tokens = np.asarray(new_tokens)
+        logprobs = np.asarray(logprobs)
+        self.decode_steps += 1
+        for i, s in enumerate(self._slots):
+            if s is None or not active[i]:
+                continue
+            token = int(new_tokens[i])
+            s.last_token = token
+            s.token_ids.append(token)
+            s.logprobs.append(float(logprobs[i]))
+            self.total_generated_tokens += 1
+            self._maybe_finish(i, token)
+        return True
+
+
+# ---------------------------------------------------------------------------
+# jitted step functions (pure; engine state threaded explicitly)
+# ---------------------------------------------------------------------------
+
+
+def _decode_fn(
+    model_cfg: ModelConfig,
+    use_masking: bool,
+    params: dict,
+    k_cache: jnp.ndarray,
+    v_cache: jnp.ndarray,
+    tokens: jnp.ndarray,  # [S]
+    active: jnp.ndarray,  # [S] bool
+    cache_lens: jnp.ndarray,  # [S]
+    rng: jax.Array,
+    temperature: jnp.ndarray,
+    top_p: jnp.ndarray,
+    top_k: jnp.ndarray,
+):
+    S = tokens.shape[0]
+    T = k_cache.shape[2]
+    positions = cache_lens  # the new token's position (0-based)
+    logits, k_new, v_new = decode_step(
+        params, model_cfg, tokens, positions, k_cache, v_cache, cache_lens
+    )
+    idx = jnp.arange(S)
+    write_pos = jnp.clip(cache_lens, 0, T - 1)
+    k_cache = k_cache.at[:, idx, write_pos].set(k_new.astype(k_cache.dtype))
+    v_cache = v_cache.at[:, idx, write_pos].set(v_new.astype(v_cache.dtype))
+    if use_masking:
+        new_tokens, logprobs = sample_masked(logits, rng, temperature, top_p, top_k)
+    else:
+        new_tokens, logprobs = sample_fast(logits, rng, temperature)
+    cache_lens = jnp.where(active, jnp.minimum(cache_lens + 1, T - 1), cache_lens)
+    return new_tokens, logprobs, k_cache, v_cache, cache_lens
+
+
+def _prefill_fn(
+    model_cfg: ModelConfig,
+    params: dict,
+    k_cache: jnp.ndarray,  # [L, S, T, K, Dh]
+    v_cache: jnp.ndarray,
+    cache_lens: jnp.ndarray,  # [S]
+    input_ids: jnp.ndarray,  # [1, P] (padded bucket)
+    length: jnp.ndarray,  # scalar — true prompt length
+    slot: jnp.ndarray,  # scalar
+    rng: jax.Array,
+    temperature: jnp.ndarray,  # scalar
+    top_p: jnp.ndarray,
+    top_k: jnp.ndarray,
+):
+    P = input_ids.shape[1]
+    positions = jnp.arange(P)[None, :]
+    segments = jnp.zeros((1, P), jnp.int32)
+    logits, (k_new, v_new) = forward(
+        params, model_cfg, input_ids, positions, segments, return_kv=True
+    )
+    # k_new: [L, 1, P, K, Dh] → write into the slot's cache prefix
+    k_block = k_new.astype(k_cache.dtype).transpose(0, 1, 2, 3, 4)
+    v_block = v_new.astype(v_cache.dtype)
+    k_cache = jax.lax.dynamic_update_slice(k_cache, k_block, (0, slot, 0, 0, 0))
+    v_cache = jax.lax.dynamic_update_slice(v_cache, v_block, (0, slot, 0, 0, 0))
+    cache_lens = cache_lens.at[slot].set(length)
+
+    last_logits = jax.lax.dynamic_slice(
+        logits, (0, length - 1, 0), (1, 1, logits.shape[-1])
+    )[0]
+    token, logprob = sample_masked(
+        last_logits, rng, temperature[None], top_p[None], top_k[None]
+    )
+    return token[0], logprob[0], k_cache, v_cache, cache_lens
+
+
+def _score_fn(model_cfg: ModelConfig, params: dict, input_ids: jnp.ndarray, temperature: float):
+    P = input_ids.shape[1]
+    positions = jnp.arange(P)[None, :]
+    segments = jnp.zeros((1, P), jnp.int32)
+    logits = forward(params, model_cfg, input_ids, positions, segments)
+    from ..train.rl_loss import token_logprobs_from_logits
+
+    return token_logprobs_from_logits(logits, input_ids, temperature)

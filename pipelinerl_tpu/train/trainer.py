@@ -1,0 +1,271 @@
+"""The finetune loop: stream-fed micro-batches, gradient accumulation,
+optax updates, weight-version publishing, in-flight weight pushes.
+
+Re-design of the reference trainer (/root/reference/pipelinerl/finetune_loop.py):
+
+- one jitted grad pass per packed micro-batch; gradients accumulate on
+  device; the optimizer applies when the accumulated *sample* count reaches
+  ``finetune.samples_per_step`` (the reference's
+  train_batch_size × gradient_accumulation_passes target,
+  finetune_loop.py:709-713) — the loss is pre-normalized by that count so
+  summing gradients is exact;
+- weight version ≡ cumulative trained samples (finetune_loop.py:948-949);
+  ``SamplesProcessed`` after every pass, ``WeightUpdateSuccess`` after every
+  push, ``TrainingDone`` at exit (finetune_loop.py:141-171);
+- weight push = calling ``weight_update_cb(params, version)`` — in-process
+  that is InferenceEngine.update_params (pointer swap between decode steps);
+  across meshes it is a device_put reshard. No NCCL group, no engine pause.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import Config
+from ..state import SamplesProcessed, TrainerState, TrainingDone, WeightUpdateSuccess
+from ..streams import SingleStreamSpec, StreamReader, StreamWriter
+from ..types import TrainerBatch
+from ..models.transformer import ModelConfig
+from .rl_loss import RLLossConfig, rl_loss
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class TrainingMetrics:
+    completed_steps: int = 0
+    passes: int = 0
+    samples: int = 0
+    tokens: int = 0
+    last_broadcasted_version: int = 0
+    samples_too_old_to_train: int = 0
+    train_loss: float = 0.0
+    grad_norm: float = 0.0
+    lr: float = 0.0
+    time_waiting_for_data: float = 0.0
+
+
+def make_optimizer(cfg: Config) -> tuple[optax.GradientTransformation, Callable]:
+    lr = float(cfg.finetune.learning_rate)
+    warmup = int(cfg.finetune.get("num_warmup_steps", 0))
+    max_steps = int(cfg.finetune.get("max_train_steps", 100_000))
+    sched_type = cfg.finetune.get("lr_scheduler_type", "constant_with_warmup")
+    if sched_type == "cosine":
+        schedule = optax.warmup_cosine_decay_schedule(
+            init_value=0.0,
+            peak_value=lr,
+            warmup_steps=max(1, warmup),
+            decay_steps=max_steps,
+            end_value=0.0,
+        )
+    elif sched_type in ("constant", "constant_with_warmup"):
+        schedule = optax.join_schedules(
+            [
+                optax.linear_schedule(0.0, lr, max(1, warmup)),
+                optax.constant_schedule(lr),
+            ],
+            boundaries=[max(1, warmup)],
+        )
+    else:
+        raise ValueError(f"Unknown lr_scheduler_type {sched_type!r}")
+
+    optim_name = cfg.finetune.get("optim", "adamw")
+    weight_decay = float(cfg.finetune.get("weight_decay", 0.0))
+    clip = cfg.finetune.get("gradient_clipping_threshold")
+
+    def decay_mask(params):
+        # decay only matrices (>=2D) — biases and norm scales excluded,
+        # matching the reference's param grouping (finetune/optim.py:25-46)
+        return jax.tree.map(lambda p: p.ndim >= 2, params)
+
+    if optim_name in ("adamw", "adamw_torch"):
+        base = optax.adamw(schedule, weight_decay=weight_decay, mask=decay_mask)
+    elif optim_name == "lion":
+        base = optax.lion(schedule, weight_decay=weight_decay, mask=decay_mask)
+    elif optim_name == "adafactor":
+        base = optax.adafactor(schedule)
+    else:
+        raise ValueError(f"Unknown optimizer {optim_name!r}")
+    transforms = []
+    if clip is not None:
+        transforms.append(optax.clip_by_global_norm(float(clip)))
+    transforms.append(base)
+    return optax.chain(*transforms), schedule
+
+
+def batch_to_device(batch: TrainerBatch) -> dict:
+    arrays = {k: jnp.asarray(v) for k, v in batch.arrays().items()}
+    return arrays
+
+
+class TrainerLoop:
+    def __init__(
+        self,
+        cfg: Config,
+        params: dict,
+        model_cfg: ModelConfig,
+        exp_path: str,
+        weight_update_cb: Callable[[dict, int], None] | None = None,
+        rank: int = 0,
+        input_topic: str = "training_data",
+    ):
+        self.cfg = cfg
+        self.model_cfg = model_cfg
+        self.exp_path = exp_path
+        self.weight_update_cb = weight_update_cb
+        self.rank = rank
+        self.metrics = TrainingMetrics()
+        self.params = params
+
+        self.samples_per_step = int(cfg.finetune.samples_per_step)
+        self.weight_update_interval = int(cfg.finetune.get("weight_update_interval", 1))
+        self.max_train_steps = int(cfg.finetune.get("max_train_steps", 100_000))
+        self.max_lag = cfg.finetune.get("max_lag")
+
+        rl_cfg_dict = {
+            k: v for k, v in cfg.finetune.rl.items() if k in RLLossConfig.__dataclass_fields__
+        }
+        rl_cfg_dict.setdefault("batch_size", self.samples_per_step)
+        rl_cfg_dict["batch_size"] = int(rl_cfg_dict["batch_size"]) or self.samples_per_step
+        self.loss_cfg = RLLossConfig(**rl_cfg_dict)
+
+        self.optimizer, self.lr_schedule = make_optimizer(cfg)
+        self.opt_state = self.optimizer.init(self.params)
+        self._grad_accum = None
+
+        self.input_spec = SingleStreamSpec(
+            exp_path=exp_path, topic=input_topic, partition=rank
+        )
+
+        remat = bool(cfg.finetune.get("gradient_checkpointing", True))
+        max_step = self.max_train_steps
+
+        def grad_pass(params, batch, step, sentinel):
+            def loss_fn(p):
+                return rl_loss(
+                    p, model_cfg, self.loss_cfg, batch, step, max_step, sentinel,
+                    remat=remat,
+                )
+            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            return grads, loss, metrics
+
+        self._grad_pass = jax.jit(grad_pass)
+        self._accumulate = jax.jit(
+            lambda acc, grads: jax.tree.map(jnp.add, acc, grads)
+        )
+
+        def apply_update(params, opt_state, grads):
+            gnorm = optax.global_norm(grads)
+            updates, new_opt_state = self.optimizer.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            return new_params, new_opt_state, gnorm
+
+        self._apply_update = jax.jit(apply_update, donate_argnums=(0, 1))
+
+    # ------------------------------------------------------------------
+    def publish(self, writer: StreamWriter, msg) -> None:
+        writer.write(msg.model_dump())
+
+    def train_pass(self, batch: TrainerBatch) -> dict:
+        """One micro-batch gradient pass; returns host metrics."""
+        arrays = batch_to_device(batch)
+        sentinel = jnp.asarray(1.0 if batch.sentinel else 0.0)
+        step = jnp.asarray(self.metrics.completed_steps, jnp.float32)
+        grads, loss, metrics = self._grad_pass(self.params, arrays, step, sentinel)
+        if self._grad_accum is None:
+            self._grad_accum = grads
+        else:
+            self._grad_accum = self._accumulate(self._grad_accum, grads)
+        self.metrics.passes += 1
+        if not batch.sentinel:
+            self.metrics.samples += batch.num_sequences
+            self.metrics.tokens += batch.length - batch.padding
+        self.metrics.train_loss = float(loss)
+        return {k: float(v) for k, v in metrics.items()}
+
+    def optimizer_step(self) -> None:
+        assert self._grad_accum is not None
+        self.params, self.opt_state, gnorm = self._apply_update(
+            self.params, self.opt_state, self._grad_accum
+        )
+        self._grad_accum = None
+        self.metrics.grad_norm = float(gnorm)
+        self.metrics.lr = float(self.lr_schedule(self.metrics.completed_steps))
+        self.metrics.completed_steps += 1
+
+    def maybe_push_weights(self, writer: StreamWriter, force: bool = False) -> bool:
+        version = self.metrics.samples
+        if (
+            force
+            or version - self.metrics.last_broadcasted_version
+            >= self.weight_update_interval
+        ):
+            if self.weight_update_cb is not None:
+                self.weight_update_cb(self.params, version)
+            self.publish(writer, WeightUpdateSuccess(version=version))
+            self.metrics.last_broadcasted_version = version
+            return True
+        return False
+
+    def run(self, max_steps: int | None = None) -> TrainingMetrics:
+        """Consume the training_data stream until ``max_steps`` optimizer
+        steps (or cfg max_train_steps)."""
+        target_steps = min(
+            self.max_train_steps, max_steps if max_steps is not None else self.max_train_steps
+        )
+        reader = StreamReader(self.input_spec, poll_interval=0.01)
+        writer = StreamWriter(
+            SingleStreamSpec(exp_path=self.exp_path, topic="weight_update_request")
+        )
+        # initial broadcast so actors can start (reference finetune_loop.py:485)
+        self.maybe_push_weights(writer, force=True)
+        self.publish(writer, SamplesProcessed(samples=self.metrics.samples))
+        samples_this_step = 0
+        t_start = time.monotonic()
+        try:
+            while self.metrics.completed_steps < target_steps:
+                t_wait = time.monotonic()
+                batch = None
+                for msg in reader.read_available(max_messages=1):
+                    batch = TrainerBatch.from_msg(msg)
+                if batch is None:
+                    time.sleep(0.005)
+                    self.metrics.time_waiting_for_data += time.monotonic() - t_wait
+                    continue
+                if (
+                    self.max_lag is not None
+                    and not batch.sentinel
+                    and self.metrics.samples - batch.model_version > int(self.max_lag)
+                ):
+                    self.metrics.samples_too_old_to_train += batch.num_sequences
+                self.train_pass(batch)
+                samples_this_step += batch.num_sequences
+                self.publish(writer, SamplesProcessed(samples=self.metrics.samples))
+                if samples_this_step >= self.samples_per_step:
+                    self.optimizer_step()
+                    samples_this_step = 0
+                    self.maybe_push_weights(writer)
+            elapsed = time.monotonic() - t_start
+            logger.info(
+                "Trainer done: %d steps, %d samples, %d tokens in %.1fs (%.0f tok/s)",
+                self.metrics.completed_steps,
+                self.metrics.samples,
+                self.metrics.tokens,
+                elapsed,
+                self.metrics.tokens / max(elapsed, 1e-9),
+            )
+            self.maybe_push_weights(writer, force=True)
+            self.publish(writer, TrainingDone())
+        finally:
+            reader.stop()
+            writer.close()
+        return self.metrics

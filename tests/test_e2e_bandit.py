@@ -1,0 +1,58 @@
+"""End-to-end learning oracle: the full pipeline (engine rollouts → groups →
+LOO advantages → packing → REINFORCE updates → in-flight weight pushes,
+paced by max_lag) must teach a tiny from-scratch model the single-token
+bandit. Hermetic analogue of the reference's guessing-convergence check
+(reference README.md:165-189).
+
+Runs as a subprocess through the real CLI so the XLA CPU threadpool is not
+split across the 8 virtual devices the unit-test conftest forces.
+"""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+@pytest.mark.slow
+def test_bandit_learns(tmp_path):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import jax; jax.config.update('jax_platforms', 'cpu');"
+            "from pipelinerl_tpu.launch import main; main()",
+            f"output_dir={tmp_path}",
+            "--config-dir=conf",
+            "--config-name=bandit_cpu",
+        ],
+        cwd=REPO,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    stats = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert stats["trainer"]["completed_steps"] >= 10, stats
+    assert stats["trainer"]["last_broadcasted_version"] > 0
+
+    # success trajectory from the stats stream on disk
+    from pipelinerl_tpu.streams import SingleStreamSpec, StreamReader
+
+    reader = StreamReader(SingleStreamSpec(str(tmp_path), "stats"), "files")
+    snapshots = list(reader.read_available())
+    assert snapshots, "actor published no stats"
+    rewards = [s["reward_mean"] for s in snapshots if "reward_mean" in s]
+    assert len(rewards) >= 3, rewards
+    early = sum(rewards[:2]) / 2
+    late = sum(rewards[-2:]) / 2
+    assert late > early + 0.1, f"no learning: reward {early:.3f} → {late:.3f} ({rewards})"

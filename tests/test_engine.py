@@ -1,0 +1,178 @@
+"""Continuous-batching engine correctness on a tiny CPU model."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pipelinerl_tpu.inference import (
+    EngineConfig,
+    GenRequest,
+    InferenceEngine,
+    SamplingParams,
+)
+from pipelinerl_tpu.models.transformer import ModelConfig, forward, init_params
+
+EOS = 0
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    cfg = ModelConfig(
+        vocab_size=32,
+        hidden_size=32,
+        intermediate_size=64,
+        num_layers=2,
+        num_heads=2,
+        num_kv_heads=2,
+        dtype=jnp.float32,
+    )
+    params = init_params(jax.random.key(0), cfg)
+    return params, cfg
+
+
+def make_engine(params, cfg, max_slots=3, max_len=64):
+    engine = InferenceEngine(
+        params,
+        cfg,
+        EngineConfig(
+            max_slots=max_slots,
+            max_len=max_len,
+            prefill_buckets=(8, 16, 32),
+            cache_dtype=jnp.float32,
+        ),
+        eos_token_id=EOS,
+    )
+    return engine
+
+
+def greedy_reference(params, cfg, prompt, n_steps):
+    """Autoregressive greedy generation via the full forward — ground truth."""
+    ids = list(prompt)
+    out = []
+    for _ in range(n_steps):
+        T = len(ids)
+        logits = forward(
+            params,
+            cfg,
+            jnp.asarray(ids)[None, :],
+            jnp.arange(T)[None, :],
+            jnp.zeros((1, T), jnp.int32),
+        )
+        token = int(jnp.argmax(logits[0, -1]))
+        out.append(token)
+        ids.append(token)
+        if token == EOS:
+            break
+    return out
+
+
+def run_sync(engine, requests):
+    futures = [engine.submit(r) for r in requests]
+    for _ in range(10_000):
+        if all(f.done() for f in futures):
+            break
+        engine.step()
+    assert all(f.done() for f in futures), "engine did not finish"
+    return [f.result() for f in futures]
+
+
+def test_greedy_matches_full_forward(tiny_model):
+    params, cfg = tiny_model
+    engine = make_engine(params, cfg)
+    prompts = [[5, 7, 9], [11, 3], [2, 4, 6, 8, 10, 12]]
+    reqs = [
+        GenRequest(p, SamplingParams(temperature=0.0, max_tokens=8)) for p in prompts
+    ]
+    results = run_sync(engine, reqs)
+    for prompt, res in zip(prompts, results):
+        expected = greedy_reference(params, cfg, prompt, 8)
+        assert res.token_ids == expected, f"prompt {prompt}"
+        assert res.finish_reason in ("stop", "length")
+        assert res.prompt_tokens == len(prompt)
+
+
+def test_logprobs_match_teacher_forcing(tiny_model):
+    """THE RL contract: sampler logprobs == teacher-forced recompute of the
+    full prompt+completion sequence."""
+    params, cfg = tiny_model
+    engine = make_engine(params, cfg)
+    prompt = [5, 7, 9, 11]
+    req = GenRequest(prompt, SamplingParams(temperature=1.0, max_tokens=6))
+    (res,) = run_sync(engine, [req])
+    full = prompt + res.token_ids
+    scored = engine.score_tokens(full, temperature=1.0)
+    # scored[i] is logprob of full[i+1]; completion starts at len(prompt)
+    recomputed = scored[len(prompt) - 1 :]
+    np.testing.assert_allclose(res.logprobs, recomputed, rtol=1e-4, atol=1e-5)
+
+
+def test_oversubscription_completes(tiny_model):
+    params, cfg = tiny_model
+    engine = make_engine(params, cfg, max_slots=2)
+    reqs = [
+        GenRequest([3 + i, 5, 7], SamplingParams(temperature=1.0, max_tokens=5))
+        for i in range(7)
+    ]
+    results = run_sync(engine, reqs)
+    assert len(results) == 7
+    for res in results:
+        assert 1 <= len(res.token_ids) <= 5
+        assert len(res.logprobs) == len(res.token_ids)
+
+
+def test_interleaving_matches_solo_run(tiny_model):
+    """A greedy request must produce identical tokens whether it runs alone
+    or interleaved with other requests (slot isolation)."""
+    params, cfg = tiny_model
+    solo_engine = make_engine(params, cfg, max_slots=1)
+    probe = GenRequest([9, 13, 17], SamplingParams(temperature=0.0, max_tokens=8))
+    (solo,) = run_sync(solo_engine, [probe])
+
+    busy_engine = make_engine(params, cfg, max_slots=3)
+    noise = [
+        GenRequest([i + 1, i + 2], SamplingParams(temperature=1.0, max_tokens=10))
+        for i in range(5)
+    ]
+    results = run_sync(busy_engine, noise[:2] + [probe] + noise[2:])
+    assert results[2].token_ids == solo.token_ids
+
+
+def test_inflight_weight_update(tiny_model):
+    params, cfg = tiny_model
+    engine = make_engine(params, cfg, max_slots=1, max_len=128)
+    req = GenRequest(
+        [3, 5, 7], SamplingParams(temperature=1.0, max_tokens=40, stop_token_ids=())
+    )
+    future = engine.submit(req)
+    # run a few steps, then swap weights mid-generation
+    for _ in range(5):
+        engine.step()
+    new_params = init_params(jax.random.key(42), cfg)
+    engine.update_params(new_params, version=100)
+    for _ in range(10_000):
+        if future.done():
+            break
+        engine.step()
+    res = future.result()
+    assert res.model_version_start == 0
+    assert res.model_version_end == 100
+    assert len(res.token_ids) >= 1
+
+
+def test_max_tokens_capped_by_cache(tiny_model):
+    params, cfg = tiny_model
+    engine = make_engine(params, cfg, max_slots=1, max_len=16)
+    prompt = list(range(1, 11))  # 10 tokens, cache 16 → at most 6 new
+    req = GenRequest(prompt, SamplingParams(temperature=1.0, max_tokens=100))
+    (res,) = run_sync(engine, [req])
+    assert len(res.token_ids) <= 6
+
+
+def test_oversized_prompt_aborts(tiny_model):
+    params, cfg = tiny_model
+    engine = make_engine(params, cfg, max_len=16)
+    req = GenRequest(list(range(1, 40)), SamplingParams())
+    res = engine.submit(req).result(timeout=1)
+    assert res.finish_reason == "abort"
