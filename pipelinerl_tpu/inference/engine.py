@@ -50,6 +50,10 @@ class EngineConfig:
     prefill_buckets: tuple[int, ...] = (64, 128, 256, 512, 1024)
     seed: int = 0
     cache_dtype: Any = jnp.bfloat16
+    # decode steps per compiled window (lax.scan on device). The host syncs
+    # tokens once per window, so dispatch/tunnel latency is amortized N×;
+    # a slot finishing mid-window wastes ≤ N-1 speculative tokens.
+    decode_window: int = 8
 
 
 @dataclass
@@ -135,12 +139,16 @@ class InferenceEngine:
         self.total_prefill_tokens = 0
         self.decode_steps = 0
 
+        window = max(1, cfg.decode_window)
         self._decode_fast = jax.jit(
-            partial(_decode_fn, model_cfg, False), donate_argnums=(1, 2)
+            partial(_decode_window_fn, model_cfg, False, window),
+            donate_argnums=(1, 2),
         )
         self._decode_masked = jax.jit(
-            partial(_decode_fn, model_cfg, True), donate_argnums=(1, 2)
+            partial(_decode_window_fn, model_cfg, True, window),
+            donate_argnums=(1, 2),
         )
+        self._rng_device = jax.random.key(cfg.seed + 1)
         self._prefill = jax.jit(
             partial(_prefill_fn, model_cfg), donate_argnums=(1, 2, 3)
         )
@@ -325,30 +333,42 @@ class InferenceEngine:
             return False
 
         fn = self._decode_masked if needs_masking else self._decode_fast
-        new_tokens, logprobs, self.k_cache, self.v_cache, self.cache_lens = fn(
+        (
+            win_tokens,
+            win_logprobs,
+            self.k_cache,
+            self.v_cache,
+            self.cache_lens,
+            self._rng_device,
+        ) = fn(
             self.params,
             self.k_cache,
             self.v_cache,
             jnp.asarray(tokens),
             jnp.asarray(active),
             self.cache_lens,
-            self._next_rng(),
+            self._rng_device,
             jnp.asarray(temperature),
             jnp.asarray(top_p),
             jnp.asarray(top_k),
         )
-        new_tokens = np.asarray(new_tokens)
-        logprobs = np.asarray(logprobs)
-        self.decode_steps += 1
+        # single host sync per window
+        win_tokens = np.asarray(win_tokens)  # [N, S]
+        win_logprobs = np.asarray(win_logprobs)
+        n_steps = win_tokens.shape[0]
+        self.decode_steps += n_steps
         for i, s in enumerate(self._slots):
             if s is None or not active[i]:
                 continue
-            token = int(new_tokens[i])
-            s.last_token = token
-            s.token_ids.append(token)
-            s.logprobs.append(float(logprobs[i]))
-            self.total_generated_tokens += 1
-            self._maybe_finish(i, token)
+            for t in range(n_steps):
+                token = int(win_tokens[t, i])
+                s.last_token = token
+                s.token_ids.append(token)
+                s.logprobs.append(float(win_logprobs[t, i]))
+                self.total_generated_tokens += 1
+                self._maybe_finish(i, token)
+                if self._slots[i] is None:
+                    break  # finished mid-window; discard speculative tail
         return True
 
 
@@ -357,9 +377,10 @@ class InferenceEngine:
 # ---------------------------------------------------------------------------
 
 
-def _decode_fn(
+def _decode_window_fn(
     model_cfg: ModelConfig,
     use_masking: bool,
+    n_steps: int,
     params: dict,
     k_cache: jnp.ndarray,
     v_cache: jnp.ndarray,
@@ -371,22 +392,36 @@ def _decode_fn(
     top_p: jnp.ndarray,
     top_k: jnp.ndarray,
 ):
+    """``n_steps`` decode steps fully on device (lax.scan): the sampled token
+    feeds the next step without a host round trip. Returns the [N, S] token
+    and logprob windows plus the advanced engine state."""
     S = tokens.shape[0]
     T = k_cache.shape[2]
-    positions = cache_lens  # the new token's position (0-based)
-    logits, k_new, v_new = decode_step(
-        params, model_cfg, tokens, positions, k_cache, v_cache, cache_lens
-    )
     idx = jnp.arange(S)
-    write_pos = jnp.clip(cache_lens, 0, T - 1)
-    k_cache = k_cache.at[:, idx, write_pos].set(k_new.astype(k_cache.dtype))
-    v_cache = v_cache.at[:, idx, write_pos].set(v_new.astype(v_cache.dtype))
-    if use_masking:
-        new_tokens, logprobs = sample_masked(logits, rng, temperature, top_p, top_k)
-    else:
-        new_tokens, logprobs = sample_fast(logits, rng, temperature)
-    cache_lens = jnp.where(active, jnp.minimum(cache_lens + 1, T - 1), cache_lens)
-    return new_tokens, logprobs, k_cache, v_cache, cache_lens
+
+    def body(carry, _):
+        tokens, cache_lens, k_cache, v_cache, rng = carry
+        rng, sub = jax.random.split(rng)
+        logits, k_new, v_new = decode_step(
+            params, model_cfg, tokens, cache_lens, k_cache, v_cache, cache_lens
+        )
+        write_pos = jnp.clip(cache_lens, 0, T - 1)
+        k_cache = k_cache.at[:, idx, write_pos].set(k_new.astype(k_cache.dtype))
+        v_cache = v_cache.at[:, idx, write_pos].set(v_new.astype(v_cache.dtype))
+        if use_masking:
+            new_tokens, logprobs = sample_masked(logits, sub, temperature, top_p, top_k)
+        else:
+            new_tokens, logprobs = sample_fast(logits, sub, temperature)
+        new_tokens = jnp.where(active, new_tokens, tokens)
+        cache_lens = jnp.where(active, jnp.minimum(cache_lens + 1, T - 1), cache_lens)
+        return (new_tokens, cache_lens, k_cache, v_cache, rng), (new_tokens, logprobs)
+
+    (tokens, cache_lens, k_cache, v_cache, rng), (win_tokens, win_logprobs) = (
+        jax.lax.scan(
+            body, (tokens, cache_lens, k_cache, v_cache, rng), None, length=n_steps
+        )
+    )
+    return win_tokens, win_logprobs, k_cache, v_cache, cache_lens, rng
 
 
 def _prefill_fn(

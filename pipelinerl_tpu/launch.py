@@ -24,6 +24,7 @@ import time
 from pathlib import Path
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -102,7 +103,12 @@ def run_inline(cfg: Config) -> dict[str, Any]:
     cfg.save(Path(exp_path) / "conf" / "exp_config.yaml")
 
     params, model_cfg, tokenizer = build_model(cfg)
-    engine = build_engine(cfg, params, model_cfg, tokenizer)
+    # The trainer donates its param buffers on every optimizer step, and
+    # same-device device_put aliases — the engine must own distinct buffers
+    # or it would decode from deleted arrays. (Cross-mesh pushes copy by
+    # construction; this inline single-device path is the aliasing case.)
+    engine_params = jax.tree.map(jnp.copy, params)
+    engine = build_engine(cfg, engine_params, model_cfg, tokenizer)
     engine.start()
 
     trainer_state = TrainerState(exp_path)
@@ -125,12 +131,16 @@ def run_inline(cfg: Config) -> dict[str, Any]:
         eos_token_id=tokenizer.eos_token_id,
         ref_score_fn=ref_score_fn,
     )
+    def push_weights(new_params: dict, version: int) -> None:
+        # copy so the engine's weights survive the trainer's buffer donation
+        engine.update_params(jax.tree.map(jnp.copy, new_params), version)
+
     trainer = TrainerLoop(
         cfg,
         params,
         model_cfg,
         exp_path,
-        weight_update_cb=engine.update_params,
+        weight_update_cb=push_weights,
     )
 
     loader = resolve(cfg.dataset_loader)

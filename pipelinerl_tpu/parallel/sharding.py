@@ -1,0 +1,78 @@
+"""Sharding rules: FSDP(dp) × TP(tp) param layout, (dp, cp) batch layout.
+
+One rule table replaces both of the reference's sharding backends
+(DeepSpeed ZeRO-3 and torch FSDP, SURVEY.md §2.4) — GSPMD materializes the
+gather/reduce-scatter collectives from these annotations.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..types import RL_DATA_COLUMNS
+
+# PartitionSpec per param leaf. Layer params carry a leading layer dim
+# (never sharded). FSDP shards one big dim over "dp"; TP shards the
+# head/ffn output dims over "tp".
+_LAYER_SPECS = {
+    "ln1": P(None, None),
+    "ln2": P(None, None),
+    "wq": P(None, "dp", "tp"),
+    "wk": P(None, "dp", "tp"),
+    "wv": P(None, "dp", "tp"),
+    "wo": P(None, "tp", "dp"),
+    "wgate": P(None, "dp", "tp"),
+    "wup": P(None, "dp", "tp"),
+    "wdown": P(None, "tp", "dp"),
+    "bq": P(None, "tp"),
+    "bk": P(None, "tp"),
+    "bv": P(None, "tp"),
+    "q_norm": P(None, None),
+    "k_norm": P(None, None),
+}
+
+_TOP_SPECS = {
+    "embed": P("dp", "tp"),
+    "final_norm": P(None),
+    "lm_head": P("dp", "tp"),
+}
+
+
+def param_partition_specs(params: dict) -> dict:
+    """Pytree of PartitionSpec matching the params structure."""
+    specs: dict = {}
+    for name, value in params.items():
+        if name == "layers":
+            specs["layers"] = {k: _LAYER_SPECS[k] for k in value}
+        else:
+            specs[name] = _TOP_SPECS[name]
+    return specs
+
+
+def shard_params(params: dict, mesh: Mesh) -> dict:
+    specs = param_partition_specs(params)
+    return jax.tree.map(
+        lambda p, s: jax.device_put(p, NamedSharding(mesh, s)),
+        params,
+        specs,
+        is_leaf=lambda x: isinstance(x, (jnp.ndarray, jax.Array)),
+    )
+
+
+def batch_sharding(mesh: Mesh) -> dict:
+    """Batch rows shard over dp, the packed sequence dim over cp — the
+    reference's contiguous context-parallel slices (types.py:145-180) as a
+    sharding annotation."""
+    spec = P("dp", "cp")
+    fields = ("input_ids", "labels", "position_ids", "segment_ids") + RL_DATA_COLUMNS
+    return {name: NamedSharding(mesh, spec) for name in fields}
+
+
+def shard_batch(batch: dict, mesh: Mesh) -> dict:
+    shardings = batch_sharding(mesh)
+    return {
+        name: jax.device_put(jnp.asarray(value), shardings[name])
+        for name, value in batch.items()
+    }

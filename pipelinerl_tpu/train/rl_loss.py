@@ -171,11 +171,20 @@ def rl_loss_from_logits(
             per_token = per_token + entropy_coef * entropy
         total_loss = -masked_sum(per_token * tokens_weights)
     elif cfg.policy_loss == "gspo":
-        seg = batch["segment_ids"][0, 1:]
-        n_seg = cfg.max_segments
+        # rows are independent packs: offset each row's segment ids so one
+        # flat segment_sum covers the whole [B, L] batch (cfg.max_segments
+        # is the per-row bound)
+        B = input_ids.shape[0]
+        seg = batch["segment_ids"][:, 1:] + (
+            jnp.arange(B, dtype=jnp.int32)[:, None] * cfg.max_segments
+        )
+        seg = seg.reshape(-1)
+        n_seg = cfg.max_segments * B
 
-        def seg_sum(x):  # [1, L-1] → [n_seg]
-            s = jax.ops.segment_sum(x[0] * masks_f[0], seg, num_segments=n_seg)
+        def seg_sum(x):  # [B, L-1] → [n_seg]
+            s = jax.ops.segment_sum(
+                (x * masks_f).reshape(-1), seg, num_segments=n_seg
+            )
             if axis_name is not None:
                 s = jax.lax.psum(s, axis_name)
             return s
@@ -195,7 +204,7 @@ def rl_loss_from_logits(
         min_terms = jnp.minimum(surr1, surr2) * valid.astype(jnp.float32) * weight_sum
         total_loss = -jnp.sum(min_terms)
         # token-level indicator expansion for metrics (reference :347-350)
-        clamp_new_old_ind = jnp.take(clamp_seg_ind, seg)[None, :]
+        clamp_new_old_ind = jnp.take(clamp_seg_ind, seg).reshape(masks_f.shape)
     else:
         raise ValueError(f"Unknown policy_loss {cfg.policy_loss!r}")
 

@@ -141,13 +141,13 @@ def test_interleaving_matches_solo_run(tiny_model):
 
 def test_inflight_weight_update(tiny_model):
     params, cfg = tiny_model
-    engine = make_engine(params, cfg, max_slots=1, max_len=128)
+    engine = make_engine(params, cfg, max_slots=1, max_len=256)
     req = GenRequest(
-        [3, 5, 7], SamplingParams(temperature=1.0, max_tokens=40, stop_token_ids=())
+        [3, 5, 7], SamplingParams(temperature=1.0, max_tokens=200, stop_token_ids=())
     )
     future = engine.submit(req)
-    # run a few steps, then swap weights mid-generation
-    for _ in range(5):
+    # run a couple of decode windows, then swap weights mid-generation
+    for _ in range(2):
         engine.step()
     new_params = init_params(jax.random.key(42), cfg)
     engine.update_params(new_params, version=100)
