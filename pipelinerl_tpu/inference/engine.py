@@ -90,11 +90,14 @@ class GenResult:
 class _Slot:
     request: GenRequest
     future: Future
-    last_token: int
+    last_token: int = 0
     token_ids: list[int] = field(default_factory=list)
     logprobs: list[float] = field(default_factory=list)
     version_start: int = 0
     max_new_tokens: int = 0
+    # first sampled token still on device (prefill is sync-free; the value is
+    # materialized together with the next decode window's host sync)
+    pending_first: tuple | None = None
 
 
 class InferenceEngine:
@@ -250,13 +253,22 @@ class InferenceEngine:
             admitted = True
 
     def _prefill_into_slot(self, slot: int, request: GenRequest, future: Future) -> None:
+        """Dispatch the prefill WITHOUT any host sync — the first sampled
+        token stays on device and is materialized with the next window."""
         prompt = np.asarray(request.prompt_ids, np.int32)
         n = len(prompt)
         bucket = next(b for b in self.buckets if b >= n)
         padded = np.zeros((1, bucket), np.int32)
         padded[0, :n] = prompt
         p = request.params
-        token, logprob, self.k_cache, self.v_cache, self.cache_lens = self._prefill(
+        (
+            token_dev,
+            logprob_dev,
+            self.k_cache,
+            self.v_cache,
+            self.cache_lens,
+            self._rng_device,
+        ) = self._prefill(
             self.params,
             self.k_cache,
             self.v_cache,
@@ -264,27 +276,20 @@ class InferenceEngine:
             jnp.asarray(padded),
             jnp.asarray(n, jnp.int32),
             jnp.asarray(slot, jnp.int32),
-            self._next_rng(),
+            self._rng_device,
             jnp.asarray(p.temperature, jnp.float32),
             jnp.asarray(p.top_p, jnp.float32),
             jnp.asarray(p.top_k, jnp.int32),
         )
         self.total_prefill_tokens += n
-        token = int(token)
-        logprob = float(logprob)
         max_new = min(p.max_tokens, self.cfg.max_len - n)
-        state = _Slot(
+        self._slots[slot] = _Slot(
             request=request,
             future=future,
-            last_token=token,
-            token_ids=[token],
-            logprobs=[logprob],
             version_start=self.version,
             max_new_tokens=max_new,
+            pending_first=(token_dev, logprob_dev),
         )
-        self._slots[slot] = state
-        self.total_generated_tokens += 1
-        self._maybe_finish(slot, token)
 
     def _stop_tokens(self, p: SamplingParams) -> tuple[int, ...]:
         return (self.eos_token_id,) + tuple(p.stop_token_ids)
@@ -319,11 +324,14 @@ class InferenceEngine:
         top_p = np.ones(S, np.float32)
         top_k = np.zeros(S, np.int32)
         needs_masking = False
+        pending: list[int] = []
         for i, s in enumerate(self._slots):
             if s is None:
                 continue
             active[i] = True
             tokens[i] = s.last_token
+            if s.pending_first is not None:
+                pending.append(i)
             p = s.request.params
             temperature[i] = p.temperature
             top_p[i] = p.top_p
@@ -331,6 +339,11 @@ class InferenceEngine:
             needs_masking = needs_masking or p.needs_masking
         if not active.any():
             return False
+
+        tokens_dev = jnp.asarray(tokens)
+        for i in pending:
+            # first token of a freshly prefilled slot lives on device only
+            tokens_dev = tokens_dev.at[i].set(self._slots[i].pending_first[0])
 
         fn = self._decode_masked if needs_masking else self._decode_fast
         (
@@ -344,7 +357,7 @@ class InferenceEngine:
             self.params,
             self.k_cache,
             self.v_cache,
-            jnp.asarray(tokens),
+            tokens_dev,
             jnp.asarray(active),
             self.cache_lens,
             self._rng_device,
@@ -352,11 +365,22 @@ class InferenceEngine:
             jnp.asarray(top_p),
             jnp.asarray(top_k),
         )
-        # single host sync per window
+        # single host sync point per window — pending first tokens are ready
+        # by now too (they were computed before the window was dispatched)
         win_tokens = np.asarray(win_tokens)  # [N, S]
         win_logprobs = np.asarray(win_logprobs)
         n_steps = win_tokens.shape[0]
         self.decode_steps += n_steps
+        for i in list(pending):
+            s = self._slots[i]
+            token_dev, logprob_dev = s.pending_first
+            s.pending_first = None
+            token = int(token_dev)
+            s.last_token = token
+            s.token_ids.append(token)
+            s.logprobs.append(float(logprob_dev))
+            self.total_generated_tokens += 1
+            self._maybe_finish(i, token)
         for i, s in enumerate(self._slots):
             if s is None or not active[i]:
                 continue
@@ -454,10 +478,11 @@ def _prefill_fn(
     last_logits = jax.lax.dynamic_slice(
         logits, (0, length - 1, 0), (1, 1, logits.shape[-1])
     )[0]
+    rng, sub = jax.random.split(rng)
     token, logprob = sample_masked(
-        last_logits, rng, temperature[None], top_p[None], top_k[None]
+        last_logits, sub, temperature[None], top_p[None], top_k[None]
     )
-    return token[0], logprob[0], k_cache, v_cache, cache_lens
+    return token[0], logprob[0], k_cache, v_cache, cache_lens, rng
 
 
 def _score_fn(model_cfg: ModelConfig, params: dict, input_ids: jnp.ndarray, temperature: float):

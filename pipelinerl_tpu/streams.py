@@ -24,6 +24,7 @@ import json
 import os
 import threading
 import time
+from collections import deque
 from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Any, Iterator
@@ -199,6 +200,9 @@ class StreamReader:
         self.poll_interval = poll_interval
         self._offset = 0  # byte offset (files) or message index (memory)
         self._buf = b""
+        # messages drained from the backend but not yet handed to the caller
+        # (read_available may stop mid-chunk; nothing may be lost)
+        self._pending: deque[dict] = deque()
         self._stop = threading.Event()
 
     def stop(self) -> None:
@@ -231,23 +235,20 @@ class StreamReader:
                 yield json.loads(line)
 
     def read_available(self, max_messages: int | None = None) -> Iterator[dict]:
-        count = 0
         if self.backend == "files":
-            for msg in self._drain_file():
-                yield msg
-                count += 1
-                if max_messages is not None and count >= max_messages:
-                    return
+            self._pending.extend(self._drain_file())
         else:
             mem = _memory_stream(self.spec)
             with mem.cond:
                 msgs = mem.messages[self._offset :]
                 self._offset = len(mem.messages)
-            for msg in msgs:
-                yield msg
-                count += 1
-                if max_messages is not None and count >= max_messages:
-                    return
+            self._pending.extend(msgs)
+        count = 0
+        while self._pending:
+            if max_messages is not None and count >= max_messages:
+                return
+            yield self._pending.popleft()
+            count += 1
 
     def read(self) -> Iterator[dict]:
         while not self._stop.is_set():
@@ -259,7 +260,7 @@ class StreamReader:
                 if self.backend == "memory":
                     mem = _memory_stream(self.spec)
                     with mem.cond:
-                        if len(mem.messages) == self._offset:
+                        if len(mem.messages) == self._offset and not self._pending:
                             mem.cond.wait(timeout=self.poll_interval)
                 else:
                     time.sleep(self.poll_interval)

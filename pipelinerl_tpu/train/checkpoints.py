@@ -1,0 +1,162 @@
+"""Checkpointing: orbax training state + HF-format export.
+
+Reference analogue: /root/reference/pipelinerl/finetune/checkpoints.py —
+(a) ``finetune/current`` HF-format weights consumable by the inference
+engine on restart (checkpoints.py:331-366, atomic tmp+rename), and
+(b) ``finetune/training_state`` with optimizer state + counters
+(checkpoints.py:225-279). Here (b) is an orbax checkpoint of the
+{params, opt_state, metrics} pytree; (a) is a safetensors export in HF
+tensor naming (exact inverse of models/hf_loader.py) so any HF consumer —
+including our own loader — can read it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import shutil
+from pathlib import Path
+from typing import Any
+
+import jax
+import numpy as np
+
+from ..models.transformer import ModelConfig
+
+_STATE_DIR = "training_state"
+_CURRENT_DIR = "current"
+
+
+def _to_numpy_tree(tree):
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def save_training_state(
+    out_dir: str | Path,
+    params: dict,
+    opt_state: Any,
+    metrics: dict[str, Any],
+) -> None:
+    """Atomic save of the full training state (orbax)."""
+    import orbax.checkpoint as ocp
+
+    out_dir = Path(out_dir).resolve()
+    out_dir.mkdir(parents=True, exist_ok=True)
+    path = out_dir / _STATE_DIR
+    tmp = out_dir / (_STATE_DIR + "~tmp")
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(tmp, {"params": params, "opt_state": opt_state})
+        ckptr.wait_until_finished()
+    (tmp / "metrics.json").write_text(json.dumps(metrics))
+    if path.exists():
+        shutil.rmtree(path)
+    os.replace(tmp, path)
+
+
+def load_training_state(
+    out_dir: str | Path, params_like: dict, opt_state_like: Any
+) -> tuple[dict, Any, dict[str, Any]] | None:
+    """Restore (params, opt_state, metrics) or None when absent. The
+    ``*_like`` trees provide structure/shape/dtype/sharding templates."""
+    import orbax.checkpoint as ocp
+
+    path = Path(out_dir).resolve() / _STATE_DIR
+    if not path.exists():
+        return None
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(
+            path, {"params": params_like, "opt_state": opt_state_like}
+        )
+    metrics = json.loads((path / "metrics.json").read_text())
+    return restored["params"], restored["opt_state"], metrics
+
+
+def export_hf(
+    out_dir: str | Path,
+    params: dict,
+    model_cfg: ModelConfig,
+    tokenizer: Any | None = None,
+) -> Path:
+    """Write HF-format safetensors + config.json to ``out_dir/current``
+    (atomic tmp+rename). Inverse of models/hf_loader.load_hf_model."""
+    from safetensors.numpy import save_file
+
+    out_dir = Path(out_dir)
+    tmp = out_dir / (_CURRENT_DIR + "~tmp")
+    final = out_dir / _CURRENT_DIR
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    tmp.mkdir(parents=True)
+
+    np_params = _to_numpy_tree(params)
+    tensors: dict[str, np.ndarray] = {}
+
+    def put(name: str, arr: np.ndarray, transpose: bool = False):
+        tensors[name] = np.ascontiguousarray(arr.T if transpose else arr)
+
+    put("model.embed_tokens.weight", np_params["embed"])
+    put("model.norm.weight", np_params["final_norm"])
+    if "lm_head" in np_params:
+        put("lm_head.weight", np_params["lm_head"], transpose=True)
+    layers = np_params["layers"]
+    mapping = [
+        ("input_layernorm.weight", "ln1", False),
+        ("post_attention_layernorm.weight", "ln2", False),
+        ("self_attn.q_proj.weight", "wq", True),
+        ("self_attn.k_proj.weight", "wk", True),
+        ("self_attn.v_proj.weight", "wv", True),
+        ("self_attn.o_proj.weight", "wo", True),
+        ("mlp.gate_proj.weight", "wgate", True),
+        ("mlp.up_proj.weight", "wup", True),
+        ("mlp.down_proj.weight", "wdown", True),
+        ("self_attn.q_proj.bias", "bq", False),
+        ("self_attn.k_proj.bias", "bk", False),
+        ("self_attn.v_proj.bias", "bv", False),
+        ("self_attn.q_norm.weight", "q_norm", False),
+        ("self_attn.k_norm.weight", "k_norm", False),
+    ]
+    for i in range(model_cfg.num_layers):
+        for hf_name, our_name, transpose in mapping:
+            if our_name not in layers:
+                continue
+            put(
+                f"model.layers.{i}.{hf_name}",
+                layers[our_name][i],
+                transpose=transpose,
+            )
+
+    # bf16 numpy arrays (ml_dtypes) serialize fine through safetensors.numpy
+    save_file(tensors, str(tmp / "model.safetensors"))
+
+    arch = model_cfg.hf_architecture or (
+        "Qwen2ForCausalLM" if model_cfg.attention_bias else
+        ("Qwen3ForCausalLM" if model_cfg.qk_norm else "LlamaForCausalLM")
+    )
+    config = {
+        "architectures": [arch],
+        "vocab_size": model_cfg.vocab_size,
+        "hidden_size": model_cfg.hidden_size,
+        "intermediate_size": model_cfg.intermediate_size,
+        "num_hidden_layers": model_cfg.num_layers,
+        "num_attention_heads": model_cfg.num_heads,
+        "num_key_value_heads": model_cfg.num_kv_heads,
+        "head_dim": model_cfg.head_dim_,
+        "rope_theta": model_cfg.rope_theta,
+        "rms_norm_eps": model_cfg.rms_norm_eps,
+        "attention_bias": model_cfg.attention_bias,
+        "tie_word_embeddings": model_cfg.tie_word_embeddings,
+        "torch_dtype": "bfloat16",
+        "model_type": {"Qwen2ForCausalLM": "qwen2", "Qwen3ForCausalLM": "qwen3"}.get(
+            arch, "llama"
+        ),
+    }
+    (tmp / "config.json").write_text(json.dumps(config, indent=2))
+    if tokenizer is not None and hasattr(tokenizer, "save_pretrained"):
+        tokenizer.save_pretrained(tmp)
+    if final.exists():
+        shutil.rmtree(final)
+    os.replace(tmp, final)
+    return final

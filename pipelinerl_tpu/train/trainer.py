@@ -19,9 +19,11 @@ Re-design of the reference trainer (/root/reference/pipelinerl/finetune_loop.py)
 
 from __future__ import annotations
 
+import dataclasses
 import logging
 import time
 from dataclasses import dataclass, field
+from pathlib import Path
 from functools import partial
 from typing import Any, Callable
 
@@ -145,6 +147,8 @@ class TrainerLoop:
         self.input_spec = SingleStreamSpec(
             exp_path=exp_path, topic=input_topic, partition=rank
         )
+        self.save_checkpoint_steps = int(cfg.finetune.get("save_checkpoint_steps", 0))
+        self.checkpoint_dir = Path(exp_path) / "finetune"
 
         remat = bool(cfg.finetune.get("gradient_checkpointing", True))
         max_step = self.max_train_steps
@@ -174,6 +178,40 @@ class TrainerLoop:
     # ------------------------------------------------------------------
     def publish(self, writer: StreamWriter, msg) -> None:
         writer.write(msg.model_dump())
+
+    # -- checkpoint / resume (reference checkpoints.py:225-279,331-366) ----
+    def save_checkpoint(self, tokenizer=None) -> None:
+        from .checkpoints import export_hf, save_training_state
+
+        save_training_state(
+            self.checkpoint_dir,
+            self.params,
+            self.opt_state,
+            dataclasses.asdict(self.metrics),
+        )
+        export_hf(self.checkpoint_dir, self.params, self.model_cfg, tokenizer)
+        logger.info(
+            "Saved checkpoint at step %d (%d samples)",
+            self.metrics.completed_steps,
+            self.metrics.samples,
+        )
+
+    def try_resume(self) -> bool:
+        from .checkpoints import load_training_state
+
+        restored = load_training_state(self.checkpoint_dir, self.params, self.opt_state)
+        if restored is None:
+            return False
+        self.params, self.opt_state, metrics = restored
+        for key, value in metrics.items():
+            if hasattr(self.metrics, key):
+                setattr(self.metrics, key, value)
+        logger.info(
+            "Resumed from checkpoint: step %d, %d samples",
+            self.metrics.completed_steps,
+            self.metrics.samples,
+        )
+        return True
 
     def train_pass(self, batch: TrainerBatch) -> dict:
         """One micro-batch gradient pass; returns host metrics."""
@@ -226,7 +264,10 @@ class TrainerLoop:
         writer = StreamWriter(
             SingleStreamSpec(exp_path=self.exp_path, topic="weight_update_request")
         )
-        # initial broadcast so actors can start (reference finetune_loop.py:485)
+        if not bool(self.cfg.get("force_restart", False)):
+            self.try_resume()
+        # initial broadcast so actors can start and resync after resume
+        # (reference finetune_loop.py:462-490)
         self.maybe_push_weights(writer, force=True)
         self.publish(writer, SamplesProcessed(samples=self.metrics.samples))
         samples_this_step = 0
@@ -254,6 +295,11 @@ class TrainerLoop:
                     self.optimizer_step()
                     samples_this_step = 0
                     self.maybe_push_weights(writer)
+                    if (
+                        self.save_checkpoint_steps
+                        and self.metrics.completed_steps % self.save_checkpoint_steps == 0
+                    ):
+                        self.save_checkpoint()
             elapsed = time.monotonic() - t_start
             logger.info(
                 "Trainer done: %d steps, %d samples, %d tokens in %.1fs (%.0f tok/s)",
@@ -264,6 +310,8 @@ class TrainerLoop:
                 self.metrics.tokens / max(elapsed, 1e-9),
             )
             self.maybe_push_weights(writer, force=True)
+            if self.save_checkpoint_steps:
+                self.save_checkpoint()
             self.publish(writer, TrainingDone())
         finally:
             reader.stop()

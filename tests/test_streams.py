@@ -87,3 +87,17 @@ def test_explicit_partition(tmp_path, backend):
         w.write({"i": 100}, partition=1)
     assert list(StreamReader(spec.single(0), backend).read_available()) == []
     assert [m["i"] for m in StreamReader(spec.single(1), backend).read_available()] == [100]
+
+
+def test_read_available_max_messages_no_loss(tmp_path, backend):
+    """Stopping mid-chunk must not drop the rest of the drained messages
+    (regression: the trainer reads one batch at a time from bursts)."""
+    spec = SingleStreamSpec(str(tmp_path), "t2")
+    with StreamWriter(spec, backend) as w:
+        for i in range(10):
+            w.write({"i": i})
+    reader = StreamReader(spec, backend)
+    got = []
+    for _ in range(10):
+        got.extend(m["i"] for m in reader.read_available(max_messages=1))
+    assert got == list(range(10))
