@@ -54,6 +54,8 @@ class EngineConfig:
     # tokens once per window, so dispatch/tunnel latency is amortized N×;
     # a slot finishing mid-window wastes ≤ N-1 speculative tokens.
     decode_window: int = 8
+    # attention implementation for prefill/score forwards: "xla" | "flash"
+    attn_impl: str = "xla"
 
 
 @dataclass
@@ -153,9 +155,9 @@ class InferenceEngine:
         )
         self._rng_device = jax.random.key(cfg.seed + 1)
         self._prefill = jax.jit(
-            partial(_prefill_fn, model_cfg), donate_argnums=(1, 2, 3)
+            partial(_prefill_fn, model_cfg, cfg.attn_impl), donate_argnums=(1, 2, 3)
         )
-        self._score = jax.jit(partial(_score_fn, model_cfg))
+        self._score = jax.jit(partial(_score_fn, model_cfg, cfg.attn_impl))
 
     # ------------------------------------------------------------------
     # public API (thread-safe)
@@ -450,6 +452,7 @@ def _decode_window_fn(
 
 def _prefill_fn(
     model_cfg: ModelConfig,
+    attn_impl: str,
     params: dict,
     k_cache: jnp.ndarray,  # [L, S, T, K, Dh]
     v_cache: jnp.ndarray,
@@ -466,7 +469,8 @@ def _prefill_fn(
     positions = jnp.arange(P)[None, :]
     segments = jnp.zeros((1, P), jnp.int32)
     logits, (k_new, v_new) = forward(
-        params, model_cfg, input_ids, positions, segments, return_kv=True
+        params, model_cfg, input_ids, positions, segments, return_kv=True,
+        attn_impl=attn_impl,
     )
     # k_new: [L, 1, P, K, Dh] → write into the slot's cache prefix
     k_block = k_new.astype(k_cache.dtype).transpose(0, 1, 2, 3, 4)
@@ -485,11 +489,11 @@ def _prefill_fn(
     return token[0], logprob[0], k_cache, v_cache, cache_lens, rng
 
 
-def _score_fn(model_cfg: ModelConfig, params: dict, input_ids: jnp.ndarray, temperature: float):
+def _score_fn(model_cfg: ModelConfig, attn_impl: str, params: dict, input_ids: jnp.ndarray, temperature: float):
     P = input_ids.shape[1]
     positions = jnp.arange(P)[None, :]
     segments = jnp.zeros((1, P), jnp.int32)
-    logits = forward(params, model_cfg, input_ids, positions, segments)
+    logits = forward(params, model_cfg, input_ids, positions, segments, attn_impl=attn_impl)
     from ..train.rl_loss import token_logprobs_from_logits
 
     return token_logprobs_from_logits(logits, input_ids, temperature)

@@ -1,0 +1,202 @@
+"""OpenAI-compatible HTTP server over the inference engine (aiohttp).
+
+Serve-path parity with the reference's vLLM OpenAI server
+(/root/reference/pipelinerl/vllm1.py:189-265, llm.py:387-404):
+
+- ``POST /v1/chat/completions``: chat-template applied host-side, returns
+  content plus per-token logprobs; tokens are reported BOTH in the vLLM
+  ``token_id:<id>`` text convention (so reference-style clients parse them)
+  and as a plain ``token_ids`` list (native clients skip the string parse);
+- ``POST /v1/completions`` with ``echo+logprobs``: teacher-forced scoring of
+  given token ids — the ref-logprob annotation endpoint
+  (reference preprocess.py:86-104);
+- ``POST /receive_weight_update``: load new weights from an HF-format
+  checkpoint directory (written by the trainer's export) and swap in-flight;
+- ``GET /health``.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import logging
+import time
+import uuid
+from typing import Any
+
+from aiohttp import web
+
+from .engine import GenRequest, InferenceEngine, SamplingParams
+
+logger = logging.getLogger(__name__)
+
+
+class InferenceServer:
+    def __init__(self, engine: InferenceEngine, tokenizer, model_name: str = "local"):
+        self.engine = engine
+        self.tokenizer = tokenizer
+        self.model_name = model_name
+        self.app = web.Application(client_max_size=64 * 1024 * 1024)
+        self.app.router.add_post("/v1/chat/completions", self.chat_completions)
+        self.app.router.add_post("/v1/completions", self.completions)
+        self.app.router.add_post("/receive_weight_update", self.receive_weight_update)
+        self.app.router.add_get("/health", self.health)
+        self.app.router.add_get("/v1/models", self.models)
+
+    # ------------------------------------------------------------------
+    async def health(self, request: web.Request) -> web.Response:
+        return web.json_response({"status": "ok", "version": self.engine.version})
+
+    async def models(self, request: web.Request) -> web.Response:
+        return web.json_response(
+            {"object": "list", "data": [{"id": self.model_name, "object": "model"}]}
+        )
+
+    def _sampling_params(self, body: dict) -> SamplingParams:
+        return SamplingParams(
+            temperature=float(body.get("temperature", 1.0)),
+            top_p=float(body.get("top_p", 1.0)),
+            top_k=int(body.get("top_k", 0) or 0),
+            max_tokens=int(body.get("max_tokens", 256)),
+            stop_token_ids=tuple(body.get("stop_token_ids", ())),
+        )
+
+    async def chat_completions(self, request: web.Request) -> web.Response:
+        body = await request.json()
+        messages = body["messages"]
+        kwargs: dict[str, Any] = {}
+        if body.get("tools"):
+            kwargs["tools"] = body["tools"]
+        prompt_ids = list(
+            self.tokenizer.apply_chat_template(
+                messages, add_generation_prompt=True, **kwargs
+            )
+        )
+        gen = GenRequest(
+            prompt_ids=prompt_ids,
+            params=self._sampling_params(body),
+            request_id=str(uuid.uuid4()),
+        )
+        result = await asyncio.wrap_future(self.engine.submit(gen))
+        if result.finish_reason == "abort":
+            return web.json_response(
+                {"error": {"message": "prompt too long", "type": "invalid_request_error"}},
+                status=400,
+            )
+        content = self.tokenizer.decode(result.token_ids, skip_special_tokens=True)
+        logprobs_content = [
+            {
+                # vLLM --return-tokens-as-token-ids convention
+                "token": f"token_id:{tid}",
+                "token_id": int(tid),
+                "logprob": float(lp),
+            }
+            for tid, lp in zip(result.token_ids, result.logprobs)
+        ]
+        return web.json_response(
+            {
+                "id": f"chatcmpl-{gen.request_id}",
+                "object": "chat.completion",
+                "created": int(time.time()),
+                "model": self.model_name,
+                "model_version": result.model_version_start,
+                "choices": [
+                    {
+                        "index": 0,
+                        "message": {"role": "assistant", "content": content},
+                        "finish_reason": result.finish_reason,
+                        "logprobs": {"content": logprobs_content},
+                        "token_ids": [int(t) for t in result.token_ids],
+                    }
+                ],
+                "usage": {
+                    "prompt_tokens": result.prompt_tokens,
+                    "completion_tokens": len(result.token_ids),
+                    "total_tokens": result.prompt_tokens + len(result.token_ids),
+                },
+            }
+        )
+
+    async def completions(self, request: web.Request) -> web.Response:
+        """Echo+logprobs scoring (the reference's ref-logprob path) and plain
+        prompt completions."""
+        body = await request.json()
+        prompt = body.get("prompt")
+        echo = bool(body.get("echo", False))
+        want_logprobs = body.get("logprobs") is not None
+        if isinstance(prompt, str):
+            token_ids = self.tokenizer.encode(prompt)
+        else:
+            token_ids = list(prompt)  # token-id list input
+        if echo and want_logprobs and int(body.get("max_tokens", 0)) == 0:
+            loop = asyncio.get_event_loop()
+            scores = await loop.run_in_executor(
+                None, self.engine.score_tokens, token_ids
+            )
+            return web.json_response(
+                {
+                    "id": f"cmpl-{uuid.uuid4()}",
+                    "object": "text_completion",
+                    "model": self.model_name,
+                    "choices": [
+                        {
+                            "index": 0,
+                            "text": "",
+                            "logprobs": {
+                                "token_logprobs": [None] + [float(x) for x in scores],
+                                "tokens": [f"token_id:{t}" for t in token_ids],
+                            },
+                            "finish_reason": "stop",
+                        }
+                    ],
+                }
+            )
+        gen = GenRequest(prompt_ids=token_ids, params=self._sampling_params(body))
+        result = await asyncio.wrap_future(self.engine.submit(gen))
+        text = self.tokenizer.decode(result.token_ids, skip_special_tokens=True)
+        return web.json_response(
+            {
+                "id": f"cmpl-{uuid.uuid4()}",
+                "object": "text_completion",
+                "model": self.model_name,
+                "choices": [
+                    {
+                        "index": 0,
+                        "text": text,
+                        "token_ids": [int(t) for t in result.token_ids],
+                        "logprobs": {
+                            "token_logprobs": [float(x) for x in result.logprobs]
+                        },
+                        "finish_reason": result.finish_reason,
+                    }
+                ],
+            }
+        )
+
+    async def receive_weight_update(self, request: web.Request) -> web.Response:
+        """Load new weights from an HF checkpoint dir and swap them in-flight
+        (the reference's NCCL-broadcast endpoint, vllm1.py:244-249, becomes a
+        checkpoint handoff for cross-process deployments; in-process
+        deployments bypass HTTP entirely)."""
+        body = await request.json()
+        ckpt_dir = body["checkpoint_dir"]
+        version = int(body.get("version", self.engine.version + 1))
+        loop = asyncio.get_event_loop()
+
+        def load_and_swap():
+            from ..models.hf_loader import load_hf_model
+
+            params, _ = load_hf_model(ckpt_dir, dtype=self.engine.model_cfg.dtype)
+            self.engine.update_params(params, version)
+
+        await loop.run_in_executor(None, load_and_swap)
+        return web.json_response({"status": "ok", "version": version})
+
+    # ------------------------------------------------------------------
+    async def run(self, host: str = "0.0.0.0", port: int = 8080) -> web.AppRunner:
+        runner = web.AppRunner(self.app)
+        await runner.setup()
+        site = web.TCPSite(runner, host, port)
+        await site.start()
+        logger.info("Inference server listening on %s:%d", host, port)
+        return runner

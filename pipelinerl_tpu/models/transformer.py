@@ -182,18 +182,24 @@ def forward(
     return_kv: bool = False,
     remat: bool = False,
     return_hidden: bool = False,
+    attn_impl: str = "xla",  # "xla" | "flash" (Pallas splash kernel)
 ):
     """Full forward over a packed row. Returns fp32 logits [B, L, V]; with
     ``return_kv`` also the per-layer keys/values [L, B, T, K, Dh] (prefill)."""
     x = jnp.take(params["embed"], input_ids, axis=0)
     cos, sin = rope_cos_sin(position_ids, cfg.head_dim_, cfg.rope_theta)
 
+    if attn_impl == "flash":
+        from ..ops.flash_attention import mha_packed_flash as _attn
+    else:
+        _attn = mha_packed
+
     def layer_fn(h, layer):
         normed = rms_norm(h, layer["ln1"], cfg.rms_norm_eps)
         q, k, v = _project_qkv(layer, cfg, normed)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        attn = mha_packed(q, k, v, segment_ids, position_ids)
+        attn = _attn(q, k, v, segment_ids, position_ids)
         attn_flat = attn.reshape(*h.shape[:-1], cfg.q_dim)
         h = h + attn_flat @ layer["wo"]
         h = h + _mlp(layer, rms_norm(h, layer["ln2"], cfg.rms_norm_eps))

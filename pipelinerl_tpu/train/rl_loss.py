@@ -267,6 +267,7 @@ def rl_loss(
     sentinel: jnp.ndarray,  # scalar float 0/1 — zero out sentinel batches
     axis_name: str | None = None,
     remat: bool = True,
+    attn_impl: str = "xla",
 ) -> tuple[jnp.ndarray, dict]:
     """Forward + loss for one packed micro-batch. The loss of a sentinel batch
     is multiplied by 0 (matched collective/gradient structure across ranks,
@@ -278,6 +279,7 @@ def rl_loss(
         batch["position_ids"],
         batch["segment_ids"],
         remat=remat,
+        attn_impl=attn_impl,
     )
     loss, metrics = rl_loss_from_logits(
         logits, batch, step, max_step, loss_cfg, axis_name=axis_name

@@ -151,13 +151,14 @@ class TrainerLoop:
         self.checkpoint_dir = Path(exp_path) / "finetune"
 
         remat = bool(cfg.finetune.get("gradient_checkpointing", True))
+        attn_impl = str(cfg.finetune.get("attn_impl", "xla"))
         max_step = self.max_train_steps
 
         def grad_pass(params, batch, step, sentinel):
             def loss_fn(p):
                 return rl_loss(
                     p, model_cfg, self.loss_cfg, batch, step, max_step, sentinel,
-                    remat=remat,
+                    remat=remat, attn_impl=attn_impl,
                 )
             (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             return grads, loss, metrics
