@@ -57,9 +57,13 @@ def main() -> None:
         model_cfg,
         EngineConfig(
             max_slots=SLOTS,
-            max_len=PROMPT_LEN + MAX_TOKENS + 8,
+            max_len=PROMPT_LEN + MAX_TOKENS + 72,
             prefill_buckets=(128,),
             cache_dtype=jnp.bfloat16,
+            # over the tunneled chip each host sync costs ~1 RTT; long
+            # windows + depth-2 pipelining amortize it
+            decode_window=32,
+            window_pipeline_depth=2,
         ),
         eos_token_id=-1,  # random weights: never stop early, measure full length
     )

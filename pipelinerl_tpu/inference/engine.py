@@ -54,6 +54,11 @@ class EngineConfig:
     # tokens once per window, so dispatch/tunnel latency is amortized N×;
     # a slot finishing mid-window wastes ≤ N-1 speculative tokens.
     decode_window: int = 8
+    # number of decode windows kept in flight before the oldest is synced;
+    # depth 2 overlaps host/tunnel latency with device compute (the device
+    # carry already holds the sampled tokens, so a future window needs no
+    # host input). Stop detection lags by (depth-1) windows of speculation.
+    window_pipeline_depth: int = 2
     # attention implementation for prefill/score forwards: "xla" | "flash"
     attn_impl: str = "xla"
 
@@ -97,9 +102,25 @@ class _Slot:
     logprobs: list[float] = field(default_factory=list)
     version_start: int = 0
     max_new_tokens: int = 0
-    # first sampled token still on device (prefill is sync-free; the value is
-    # materialized together with the next decode window's host sync)
-    pending_first: tuple | None = None
+    # True while the prefill-sampled first token has not yet been delivered
+    # (it rides along in the next window's packed output)
+    pending_first: bool = False
+    # monotonically increasing slot-assignment id: guards pipelined windows
+    # against delivering a previous occupant's tokens to a new request
+    gen: int = 0
+
+
+@dataclass
+class _Window:
+    """A dispatched-but-unsynced decode window."""
+
+    # device int32 [2, N+1, S]: row 0 of axis 1 is the per-slot prefill
+    # first-token info (token, bitcast fp32 logprob); rows 1..N are the
+    # window's sampled tokens / bitcast logprobs. ONE fetch per window.
+    packed: Any
+    active: np.ndarray  # [S] snapshot at dispatch
+    gens: np.ndarray  # [S] slot generations at dispatch
+    pending: list[int]  # slots whose prefill first token rides along
 
 
 class InferenceEngine:
@@ -154,8 +175,14 @@ class InferenceEngine:
             donate_argnums=(1, 2),
         )
         self._rng_device = jax.random.key(cfg.seed + 1)
+        self._windows: deque[_Window] = deque()
+        self._gen_counter = 0
+        # per-slot (first sampled token, bitcast logprob) written by prefill on
+        # device; fetched as row 0 of the packed window output (zero extra
+        # device->host round trips per admission)
+        self.first_info = jnp.zeros((S, 2), jnp.int32)
         self._prefill = jax.jit(
-            partial(_prefill_fn, model_cfg, cfg.attn_impl), donate_argnums=(1, 2, 3)
+            partial(_prefill_fn, model_cfg, cfg.attn_impl), donate_argnums=(1, 2, 3, 4)
         )
         self._score = jax.jit(partial(_score_fn, model_cfg, cfg.attn_impl))
 
@@ -264,17 +291,17 @@ class InferenceEngine:
         padded[0, :n] = prompt
         p = request.params
         (
-            token_dev,
-            logprob_dev,
             self.k_cache,
             self.v_cache,
             self.cache_lens,
+            self.first_info,
             self._rng_device,
         ) = self._prefill(
             self.params,
             self.k_cache,
             self.v_cache,
             self.cache_lens,
+            self.first_info,
             jnp.asarray(padded),
             jnp.asarray(n, jnp.int32),
             jnp.asarray(slot, jnp.int32),
@@ -285,12 +312,14 @@ class InferenceEngine:
         )
         self.total_prefill_tokens += n
         max_new = min(p.max_tokens, self.cfg.max_len - n)
+        self._gen_counter += 1
         self._slots[slot] = _Slot(
             request=request,
             future=future,
             version_start=self.version,
             max_new_tokens=max_new,
-            pending_first=(token_dev, logprob_dev),
+            pending_first=True,
+            gen=self._gen_counter,
         )
 
     def _stop_tokens(self, p: SamplingParams) -> tuple[int, ...]:
@@ -319,9 +348,13 @@ class InferenceEngine:
             )
 
     def _decode(self) -> bool:
+        """Dispatch one decode window and sync/process the oldest once the
+        pipeline is full. A request's tokens only reach its future after the
+        sync, (depth-1) windows behind dispatch."""
         S = self.cfg.max_slots
         active = np.zeros(S, np.bool_)
         tokens = np.zeros(S, np.int32)
+        gens = np.zeros(S, np.int64)
         temperature = np.ones(S, np.float32)
         top_p = np.ones(S, np.float32)
         top_k = np.zeros(S, np.int32)
@@ -332,6 +365,7 @@ class InferenceEngine:
                 continue
             active[i] = True
             tokens[i] = s.last_token
+            gens[i] = s.gen
             if s.pending_first is not None:
                 pending.append(i)
             p = s.request.params
@@ -340,17 +374,19 @@ class InferenceEngine:
             top_k[i] = p.top_k
             needs_masking = needs_masking or p.needs_masking
         if not active.any():
-            return False
+            # nothing to dispatch: drain any in-flight windows
+            did = False
+            while self._windows:
+                self._process_window(self._windows.popleft())
+                did = True
+            return did
 
-        tokens_dev = jnp.asarray(tokens)
-        for i in pending:
-            # first token of a freshly prefilled slot lives on device only
-            tokens_dev = tokens_dev.at[i].set(self._slots[i].pending_first[0])
+        pending_mask = np.zeros(S, np.bool_)
+        pending_mask[pending] = True
 
         fn = self._decode_masked if needs_masking else self._decode_fast
         (
-            win_tokens,
-            win_logprobs,
+            packed,
             self.k_cache,
             self.v_cache,
             self.cache_lens,
@@ -359,32 +395,43 @@ class InferenceEngine:
             self.params,
             self.k_cache,
             self.v_cache,
-            tokens_dev,
+            jnp.asarray(tokens),
             jnp.asarray(active),
+            jnp.asarray(pending_mask),
+            self.first_info,
             self.cache_lens,
             self._rng_device,
             jnp.asarray(temperature),
             jnp.asarray(top_p),
             jnp.asarray(top_k),
         )
-        # single host sync point per window — pending first tokens are ready
-        # by now too (they were computed before the window was dispatched)
-        win_tokens = np.asarray(win_tokens)  # [N, S]
-        win_logprobs = np.asarray(win_logprobs)
+        self._windows.append(_Window(packed, active, gens, pending))
+        while len(self._windows) >= max(1, self.cfg.window_pipeline_depth):
+            self._process_window(self._windows.popleft())
+        return True
+
+    def _process_window(self, w: _Window) -> None:
+        # THE single device->host fetch per window
+        packed = np.asarray(w.packed)  # [2, N+1, S] int32
+        win_tokens = packed[0, 1:]  # [N, S]
+        win_logprobs = packed[1, 1:].view(np.float32)
+        first_tokens = packed[0, 0]  # [S]
+        first_logprobs = packed[1, 0].view(np.float32)
         n_steps = win_tokens.shape[0]
         self.decode_steps += n_steps
-        for i in list(pending):
+        for i in w.pending:
             s = self._slots[i]
-            token_dev, logprob_dev = s.pending_first
+            if s is None or s.gen != w.gens[i] or not s.pending_first:
+                continue
             s.pending_first = None
-            token = int(token_dev)
+            token = int(first_tokens[i])
             s.last_token = token
             s.token_ids.append(token)
-            s.logprobs.append(float(logprob_dev))
+            s.logprobs.append(float(first_logprobs[i]))
             self.total_generated_tokens += 1
             self._maybe_finish(i, token)
         for i, s in enumerate(self._slots):
-            if s is None or not active[i]:
+            if s is None or not w.active[i] or s.gen != w.gens[i]:
                 continue
             for t in range(n_steps):
                 token = int(win_tokens[t, i])
@@ -395,7 +442,6 @@ class InferenceEngine:
                 self._maybe_finish(i, token)
                 if self._slots[i] is None:
                     break  # finished mid-window; discard speculative tail
-        return True
 
 
 # ---------------------------------------------------------------------------
@@ -410,8 +456,10 @@ def _decode_window_fn(
     params: dict,
     k_cache: jnp.ndarray,
     v_cache: jnp.ndarray,
-    tokens: jnp.ndarray,  # [S]
+    tokens: jnp.ndarray,  # [S] — host view of last tokens (stale for pending)
     active: jnp.ndarray,  # [S] bool
+    pending_mask: jnp.ndarray,  # [S] bool — slots whose true last token is first_info
+    first_info: jnp.ndarray,  # [S, 2] int32 — prefill (token, bitcast logprob)
     cache_lens: jnp.ndarray,  # [S]
     rng: jax.Array,
     temperature: jnp.ndarray,
@@ -419,11 +467,13 @@ def _decode_window_fn(
     top_k: jnp.ndarray,
 ):
     """``n_steps`` decode steps fully on device (lax.scan): the sampled token
-    feeds the next step without a host round trip. Returns the [N, S] token
-    and logprob windows plus the advanced engine state."""
+    feeds the next step without a host round trip. Returns a single packed
+    int32 [2, N+1, S] output (ONE device->host fetch per window) plus the
+    advanced engine state."""
     S = tokens.shape[0]
     T = k_cache.shape[2]
     idx = jnp.arange(S)
+    tokens = jnp.where(pending_mask, first_info[:, 0], tokens)
 
     def body(carry, _):
         tokens, cache_lens, k_cache, v_cache, rng = carry
@@ -447,7 +497,12 @@ def _decode_window_fn(
             body, (tokens, cache_lens, k_cache, v_cache, rng), None, length=n_steps
         )
     )
-    return win_tokens, win_logprobs, k_cache, v_cache, cache_lens, rng
+    # pack (first_info row, then the window) into one int32 array
+    lp_bits = jax.lax.bitcast_convert_type(win_logprobs.astype(jnp.float32), jnp.int32)
+    tok_rows = jnp.concatenate([first_info[None, :, 0], win_tokens], axis=0)
+    lp_rows = jnp.concatenate([first_info[None, :, 1], lp_bits], axis=0)
+    packed = jnp.stack([tok_rows, lp_rows])  # [2, N+1, S]
+    return packed, k_cache, v_cache, cache_lens, rng
 
 
 def _prefill_fn(
@@ -457,6 +512,7 @@ def _prefill_fn(
     k_cache: jnp.ndarray,  # [L, S, T, K, Dh]
     v_cache: jnp.ndarray,
     cache_lens: jnp.ndarray,  # [S]
+    first_info: jnp.ndarray,  # [S, 2] int32
     input_ids: jnp.ndarray,  # [1, P] (padded bucket)
     length: jnp.ndarray,  # scalar — true prompt length
     slot: jnp.ndarray,  # scalar
@@ -486,7 +542,11 @@ def _prefill_fn(
     token, logprob = sample_masked(
         last_logits, sub, temperature[None], top_p[None], top_k[None]
     )
-    return token[0], logprob[0], k_cache, v_cache, cache_lens, rng
+    lp_bits = jax.lax.bitcast_convert_type(logprob[0].astype(jnp.float32), jnp.int32)
+    first_info = first_info.at[slot].set(
+        jnp.stack([token[0].astype(jnp.int32), lp_bits])
+    )
+    return k_cache, v_cache, cache_lens, first_info, rng
 
 
 def _score_fn(model_cfg: ModelConfig, attn_impl: str, params: dict, input_ids: jnp.ndarray, temperature: float):

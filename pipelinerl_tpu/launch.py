@@ -87,6 +87,9 @@ def build_engine(cfg: Config, params: dict, model_cfg: ModelConfig, tokenizer) -
             prefill_buckets=tuple(ecfg.get("prefill_buckets", (128, 256, 512, 1024))),
             seed=int(cfg.get("seed", 0)),
             cache_dtype=_DTYPES[ecfg.get("cache_dtype", "bfloat16")],
+            decode_window=int(ecfg.get("decode_window", 8)),
+            window_pipeline_depth=int(ecfg.get("window_pipeline_depth", 2)),
+            attn_impl=str(ecfg.get("attn_impl", "xla")),
         ),
         eos_token_id=tokenizer.eos_token_id,
     )
