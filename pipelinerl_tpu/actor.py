@@ -173,6 +173,43 @@ class ActorLoop:
                 t.cancel()
             raise
 
+    def _apply_difficulty_aware_penalty(self, results: list[RolloutResult]) -> None:
+        """Rescale the overlong length penalty by group solve rate: successful
+        rollouts on hard problems keep more of their length budget, failed
+        overlong rollouts keep the full penalty; sequences that hit
+        max_tokens unfinished always get the full penalty
+        (reference actor.py:602-644)."""
+        dap = self.cfg.actor.get("difficulty_aware_penalty")
+        buffer_tokens = int(self.cfg.get("rewards", Config({})).get("buffer_tokens", 0) or 0)
+        max_tokens = self.cfg.llm.parameters.get("max_tokens")
+        if (
+            not self.is_training
+            or not dap
+            or not dap.get("enabled", False)
+            or buffer_tokens <= 0
+            or max_tokens is None
+        ):
+            return
+        from .domains.math.rollouts import length_penalty
+
+        gamma = float(dap.get("gamma", 1.0))
+        failure_scale = float(dap.get("failure_scale", 1.0))
+        solve_rate = sum(float(r.metrics.success) for r in results) / len(results)
+        success_scale = solve_rate**gamma
+        for r in results:
+            rollout_scale = success_scale if r.metrics.success else failure_scale
+            delta_total = 0.0
+            for text in r.training_texts:
+                if text.output_tokens >= max_tokens and not text.finished:
+                    scale = 1.0  # hard-cap guard
+                else:
+                    scale = rollout_scale
+                original = length_penalty(max_tokens, text.output_tokens, buffer_tokens)
+                delta = original * scale - original
+                text.reward += delta
+                delta_total += delta
+            r.metrics.reward += delta_total
+
     def _write_group(self, writer: StreamWriter, results: list[RolloutResult]) -> None:
         samples = []
         entries = []
@@ -244,6 +281,7 @@ class ActorLoop:
                 )
                 for task in done:
                     results = task.result()
+                    self._apply_difficulty_aware_penalty(results)
                     for r in results:
                         self.stats.record_rollout(r)
                     self._write_group(writer, results)
