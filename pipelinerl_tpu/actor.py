@@ -99,6 +99,8 @@ class ActorLoop:
         )
         self._active_per_llm = [0] * len(self.llms)
         self._rng = random.Random(int(cfg.get("seed", 0)))
+        # eval interleaving pauses train scheduling (reference actor.py:868-909)
+        self.is_scheduling_paused = False
 
         topic = "actor" if is_training else "actor_test"
         self.data_spec = SingleStreamSpec(exp_path=exp_path, topic=topic)
@@ -247,7 +249,17 @@ class ActorLoop:
         last_version = self.trainer_state.propagated_weight_version or 0
         submitted = 0
         completed = 0
-        problem_iter = iter(self._problem_stream(total_groups))
+        domain_mix = self.cfg.get("domain_mix")
+        sampler = None
+        if domain_mix and self.is_training:
+            from .domain_sampling import DomainWeightedSampler
+
+            sampler = DomainWeightedSampler(
+                self.problems, dict(domain_mix.items()), rng=self._rng
+            )
+            problem_iter = iter(self._sampled_stream(sampler, total_groups))
+        else:
+            problem_iter = iter(self._problem_stream(total_groups))
         in_flight: set[asyncio.Task] = set()
         max_parallel = int(self.cfg.actor.get("max_parallel_groups", 16))
         publish_every = int(self.cfg.actor.get("publish_stats_every_n_groups", 8))
@@ -261,6 +273,7 @@ class ActorLoop:
                     last_version = version
                 while (
                     not exhausted
+                    and not self.is_scheduling_paused
                     and len(in_flight) < max_parallel
                     and submitted < can_submit
                 ):
@@ -281,6 +294,10 @@ class ActorLoop:
                 )
                 for task in done:
                     results = task.result()
+                    if sampler is not None:
+                        for r in results:
+                            if r.domain:
+                                sampler.record_completion(r.domain)
                     self._apply_difficulty_aware_penalty(results)
                     for r in results:
                         self.stats.record_rollout(r)
@@ -295,6 +312,12 @@ class ActorLoop:
                         task.cancel()
                     break
         return self.stats
+
+    def _sampled_stream(self, sampler, total_groups: int | None):
+        count = 0
+        while total_groups is None or count < total_groups:
+            yield sampler.sample()
+            count += 1
 
     def _problem_stream(self, total_groups: int | None):
         count = 0

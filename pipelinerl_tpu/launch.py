@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import asyncio
 import logging
+import os
 import sys
 import threading
 import time
@@ -66,6 +67,12 @@ def build_model(cfg: Config):
         import jax
 
         params = init_params(jax.random.key(int(cfg.get("seed", 0))), model_cfg)
+        if cfg.finetune.get("value_head", False):
+            from .models.transformer import init_value_head
+
+            params["value_head"] = init_value_head(
+                jax.random.key(int(cfg.get("seed", 0)) + 99), model_cfg
+            )
         return params, model_cfg, tokenizer
     from transformers import AutoTokenizer
 
@@ -110,7 +117,10 @@ def run_inline(cfg: Config) -> dict[str, Any]:
     # same-device device_put aliases — the engine must own distinct buffers
     # or it would decode from deleted arrays. (Cross-mesh pushes copy by
     # construction; this inline single-device path is the aliasing case.)
-    engine_params = jax.tree.map(jnp.copy, params)
+    # The value head (if any) is trainer-only.
+    engine_params = jax.tree.map(
+        jnp.copy, {k: v for k, v in params.items() if k != "value_head"}
+    )
     engine = build_engine(cfg, engine_params, model_cfg, tokenizer)
     engine.start()
 
@@ -136,7 +146,12 @@ def run_inline(cfg: Config) -> dict[str, Any]:
     )
     def push_weights(new_params: dict, version: int) -> None:
         # copy so the engine's weights survive the trainer's buffer donation
-        engine.update_params(jax.tree.map(jnp.copy, new_params), version)
+        engine.update_params(
+            jax.tree.map(
+                jnp.copy, {k: v for k, v in new_params.items() if k != "value_head"}
+            ),
+            version,
+        )
 
     trainer = TrainerLoop(
         cfg,
@@ -200,6 +215,140 @@ def run_inline(cfg: Config) -> dict[str, Any]:
     }
 
 
+def _wait_for_http(urls: list[str], timeout: float = 600.0) -> None:
+    """Block until every URL's /health responds (reference
+    utils.py:445-465)."""
+    import urllib.request
+
+    deadline = time.monotonic() + timeout
+    for url in urls:
+        while True:
+            try:
+                with urllib.request.urlopen(f"{url}/health", timeout=5) as resp:
+                    if resp.status == 200:
+                        break
+            except Exception:
+                pass
+            if time.monotonic() > deadline:
+                raise TimeoutError(f"Server {url} failed to become healthy")
+            time.sleep(1.0)
+
+
+def run_processes(cfg: Config) -> int:
+    """Multi-process deployment: device job (engine+trainer on the chips),
+    actor/preprocessor/environment host jobs, supervised fail-fast
+    (reference launch.py:489-596). Returns an exit code."""
+    import subprocess
+
+    from .world import WorldMap
+
+    exp_path = Path(str(cfg.output_dir))
+    exp_path.mkdir(parents=True, exist_ok=True)
+    setup_logging(exp_path / "logs" / "launcher")
+    world_map = WorldMap(cfg)
+    cfg = cfg.copy()
+    cfg["jobs"] = world_map.to_config()
+    if world_map.environment_servers:
+        cfg["environment"] = world_map.environment_servers
+    config_dir = exp_path / "conf"
+    cfg.save(config_dir / "exp_config.yaml")
+
+    entrypoints = {
+        "device": "pipelinerl_tpu.entrypoints.run_device",
+        "actor": "pipelinerl_tpu.entrypoints.run_actor",
+        "preprocessor": "pipelinerl_tpu.entrypoints.run_preprocess",
+        "environment": "pipelinerl_tpu.entrypoints.run_environment",
+    }
+    dry_run = bool(os.environ.get("DRY_RUN"))
+    procs: list[tuple[str, Any]] = []
+    log_dir = exp_path / "logs"
+    log_dir.mkdir(parents=True, exist_ok=True)
+
+    def spawn(job) -> None:
+        name = f"{job.kind}_{job.replica_idx}"
+        cmd = [
+            sys.executable,
+            "-m",
+            entrypoints[job.kind],
+            f"--config-dir={config_dir}",
+            "--config-name=exp_config",
+            f"+me.kind={job.kind}",
+            f"+me.replica_idx={job.replica_idx}",
+        ]
+        if job.port is not None:
+            cmd.append(f"+me.port={job.port}")
+        if job.kind in ("actor",):
+            urls = ",".join(f'"{u}"' for u in world_map.llm_urls)
+            cmd.append(f"+me.llm_urls=[{urls}]")
+        env = dict(os.environ)
+        if job.kind != "device":
+            # host-only jobs must not register with the (single-tenant) TPU
+            # runtime; drop the sitecustomize path and force CPU
+            env["PYTHONPATH"] = str(Path(__file__).resolve().parent.parent)
+            env["JAX_PLATFORMS"] = "cpu"
+        (exp_path / job.kind).mkdir(exist_ok=True)
+        script = " \\\n  ".join(cmd)
+        (exp_path / job.kind / f"start_{name}.sh").write_text(f"#!/bin/sh\n{script}\n")
+        if dry_run:
+            logger.info("DRY_RUN: %s", " ".join(cmd))
+            return
+        log_file = open(log_dir / f"{name}.out", "w")
+        proc = subprocess.Popen(cmd, stdout=log_file, stderr=subprocess.STDOUT, env=env)
+        procs.append((name, proc))
+
+    # order: environments + device first, then health-gate, then the rest
+    for job in world_map.jobs_of("environment") + world_map.jobs_of("device"):
+        spawn(job)
+    if not dry_run:
+        _wait_for_http(world_map.llm_urls)
+        _wait_for_http(
+            [f"http://{e['hostname']}:{e['port']}" for e in world_map.environment_servers]
+        )
+    for job in world_map.jobs_of("preprocessor") + world_map.jobs_of("actor"):
+        spawn(job)
+    if dry_run:
+        return 0
+
+    trainer_state = TrainerState(str(exp_path))
+    trainer_state.start_listening()
+    exit_code = 0
+    try:
+        while procs:
+            time.sleep(1.0)
+            for name, proc in list(procs):
+                rc = proc.poll()
+                if rc is None:
+                    continue
+                procs.remove((name, proc))
+                if rc != 0:
+                    logger.error("Job %s exited with %d — stopping everything", name, rc)
+                    exit_code = 1
+                    raise RuntimeError(f"job {name} failed")
+                logger.info("Job %s finished cleanly", name)
+            if trainer_state.training_done:
+                # graceful shutdown: give host jobs a moment, then terminate
+                logger.info("TrainingDone observed; shutting down remaining jobs")
+                deadline = time.monotonic() + 30
+                while procs and time.monotonic() < deadline:
+                    for name, proc in list(procs):
+                        if proc.poll() is not None:
+                            procs.remove((name, proc))
+                    time.sleep(0.5)
+                break
+    except (RuntimeError, KeyboardInterrupt):
+        exit_code = exit_code or 1
+    finally:
+        for name, proc in procs:
+            proc.terminate()
+        for name, proc in procs:
+            try:
+                proc.wait(timeout=10)
+            except Exception:
+                proc.kill()
+        trainer_state.stop()
+    return exit_code
+
+
 def main(argv: list[str] | None = None) -> None:
     argv = list(sys.argv[1:] if argv is None else argv)
     config_dir = "conf"
@@ -213,6 +362,9 @@ def main(argv: list[str] | None = None) -> None:
         else:
             overrides.append(arg)
     cfg = compose(config_dir, config_name, overrides)
+    mode = cfg.get("launch_mode", "inline")
+    if mode == "processes":
+        sys.exit(run_processes(cfg))
     stats = run_inline(cfg)
     logger.info("Run complete: %s", stats)
     import json

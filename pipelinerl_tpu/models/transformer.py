@@ -256,3 +256,20 @@ def decode_step(
 
 def param_count(params: dict) -> int:
     return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+
+
+# ---------------------------------------------------------------------------
+# value head (PPO actor-critic; reference finetune/value_model.py:40-211)
+# ---------------------------------------------------------------------------
+
+
+def init_value_head(rng: jax.Array, cfg: ModelConfig) -> dict:
+    """A linear head over the final hidden state → scalar value per token."""
+    w = (jax.random.normal(rng, (cfg.hidden_size, 1), jnp.float32) * cfg.hidden_size**-0.5)
+    return {"w": w.astype(cfg.dtype), "b": jnp.zeros((1,), cfg.dtype)}
+
+
+def value_predictions(value_head: dict, hidden: jnp.ndarray) -> jnp.ndarray:
+    """hidden [B, L, D] → values [B, L] (fp32)."""
+    out = hidden.astype(jnp.float32) @ value_head["w"].astype(jnp.float32)
+    return out[..., 0] + value_head["b"].astype(jnp.float32)[0]

@@ -39,6 +39,8 @@ _TOP_SPECS = {
     "lm_head": P("dp", "tp"),
 }
 
+_VALUE_HEAD_SPECS = {"w": P("dp", None), "b": P(None)}
+
 
 def param_partition_specs(params: dict) -> dict:
     """Pytree of PartitionSpec matching the params structure."""
@@ -46,6 +48,8 @@ def param_partition_specs(params: dict) -> dict:
     for name, value in params.items():
         if name == "layers":
             specs["layers"] = {k: _LAYER_SPECS[k] for k in value}
+        elif name == "value_head":
+            specs["value_head"] = dict(_VALUE_HEAD_SPECS)
         else:
             specs[name] = _TOP_SPECS[name]
     return specs

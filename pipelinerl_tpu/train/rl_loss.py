@@ -90,6 +90,7 @@ def rl_loss_from_logits(
     max_step: int,
     cfg: RLLossConfig,
     axis_name: str | None = None,
+    values: jnp.ndarray | None = None,  # [B, L] value-head predictions
 ) -> tuple[jnp.ndarray, dict]:
     """Compute the scalar loss and metrics given precomputed logits.
 
@@ -121,7 +122,15 @@ def rl_loss_from_logits(
     group_tokens = batch["group_tokens"][:, 1:]
     num_labels = jnp.maximum(batch["num_labels"][:, 1:], 1.0)
     overflow = batch["overflow"][:, 1:]
-    advantages = batch["advantages"][:, 1:]
+    if values is not None:
+        # actor-critic: advantages = MC return − V(s)
+        # (reference rl/__init__.py:265-274); the policy term detaches them
+        # below, the value loss keeps the gradient
+        values_t = values[:, :-1]
+        advantages = rewards - values_t
+    else:
+        values_t = None
+        advantages = batch["advantages"][:, 1:]
 
     if cfg.group_normalization:
         tokens_weights = 1.0 / jnp.maximum(group_tokens, 1e-6)
@@ -208,6 +217,12 @@ def rl_loss_from_logits(
     else:
         raise ValueError(f"Unknown policy_loss {cfg.policy_loss!r}")
 
+    if values_t is not None:
+        value_loss = masked_sum(0.5 * jnp.square(values_t - rewards) * tokens_weights)
+        total_loss = total_loss + cfg.value_loss_coef * value_loss
+    else:
+        value_loss = None
+
     num_output_tokens = masks_f.sum()
     safe_denom = jnp.maximum(num_output_tokens, 1.0)
 
@@ -254,6 +269,12 @@ def rl_loss_from_logits(
         "kl_coef": kl_coef * jnp.ones(()),
         "entropy_bonus_coef": entropy_coef * jnp.ones(()),
     }
+    if values_t is not None:
+        metrics["value_mean"] = seq_mean_sum(jax.lax.stop_gradient(values_t))
+        metrics["value_loss"] = jax.lax.stop_gradient(value_loss)
+        metrics["value_mse"] = seq_mean_sum(
+            jax.lax.stop_gradient(jnp.square(values_t - rewards))
+        )
     return total_loss, metrics
 
 
@@ -272,17 +293,27 @@ def rl_loss(
     """Forward + loss for one packed micro-batch. The loss of a sentinel batch
     is multiplied by 0 (matched collective/gradient structure across ranks,
     reference finetune_loop.py:784-786)."""
-    logits = forward(
-        params,
+    model_params = {k: v for k, v in params.items() if k != "value_head"}
+    outs = forward(
+        model_params,
         model_cfg,
         batch["input_ids"],
         batch["position_ids"],
         batch["segment_ids"],
         remat=remat,
         attn_impl=attn_impl,
+        return_hidden="value_head" in params,
     )
+    values = None
+    if "value_head" in params:
+        from ..models.transformer import value_predictions
+
+        logits, hidden = outs
+        values = value_predictions(params["value_head"], hidden)
+    else:
+        logits = outs
     loss, metrics = rl_loss_from_logits(
-        logits, batch, step, max_step, loss_cfg, axis_name=axis_name
+        logits, batch, step, max_step, loss_cfg, axis_name=axis_name, values=values
     )
     loss = loss * (1.0 - sentinel)
     metrics["loss"] = loss

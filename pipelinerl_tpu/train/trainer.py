@@ -261,6 +261,9 @@ class TrainerLoop:
         target_steps = min(
             self.max_train_steps, max_steps if max_steps is not None else self.max_train_steps
         )
+        from ..utils.metrics_logger import MetricsLogger
+
+        mlog = MetricsLogger(self.exp_path, f"trainer_{self.rank}")
         reader = StreamReader(self.input_spec, poll_interval=0.01)
         writer = StreamWriter(
             SingleStreamSpec(exp_path=self.exp_path, topic="weight_update_request")
@@ -272,7 +275,9 @@ class TrainerLoop:
         self.maybe_push_weights(writer, force=True)
         self.publish(writer, SamplesProcessed(samples=self.metrics.samples))
         samples_this_step = 0
+        step_metric_sums: dict[str, float] = {}
         t_start = time.monotonic()
+        t_step = time.monotonic()
         try:
             while self.metrics.completed_steps < target_steps:
                 t_wait = time.monotonic()
@@ -289,11 +294,45 @@ class TrainerLoop:
                     and self.metrics.samples - batch.model_version > int(self.max_lag)
                 ):
                     self.metrics.samples_too_old_to_train += batch.num_sequences
-                self.train_pass(batch)
+                pass_metrics = self.train_pass(batch)
+                for key, value in pass_metrics.items():
+                    step_metric_sums[key] = step_metric_sums.get(key, 0.0) + value
                 samples_this_step += batch.num_sequences
                 self.publish(writer, SamplesProcessed(samples=self.metrics.samples))
                 if samples_this_step >= self.samples_per_step:
                     self.optimizer_step()
+                    # ESS from importance-ratio sums (reference
+                    # finetune_loop.py:908-922) + throughput counters
+                    ratio_sum = step_metric_sums.get("ratio_new_old_sum", 0.0)
+                    ratio_sq = step_metric_sums.get("ratio_new_old_squared_sum", 0.0)
+                    n_tok = step_metric_sums.get("num_output_tokens_sum", 0.0)
+                    elapsed_step = time.monotonic() - t_step
+                    t_step = time.monotonic()
+                    mlog.log(
+                        {
+                            **{f"rl/{k}": v for k, v in step_metric_sums.items()},
+                            "stats/ess": (ratio_sum**2 / ratio_sq) if ratio_sq else 0.0,
+                            "stats/ess_fraction": (
+                                ratio_sum**2 / (ratio_sq * n_tok) if ratio_sq and n_tok else 0.0
+                            ),
+                            "throughput/tokens_per_step": samples_this_step,
+                            "throughput/sec_per_step": elapsed_step,
+                            "throughput/tokens_per_sec": (
+                                step_metric_sums.get("input_size", n_tok) / elapsed_step
+                                if elapsed_step > 0
+                                else 0.0
+                            ),
+                            "completed_steps": self.metrics.completed_steps,
+                            "samples": self.metrics.samples,
+                            "lr": self.metrics.lr,
+                            "grad_norm": self.metrics.grad_norm,
+                            "loss": step_metric_sums.get("loss", 0.0),
+                            "samples_too_old_to_train": self.metrics.samples_too_old_to_train,
+                            "time_waiting_for_data": self.metrics.time_waiting_for_data,
+                        },
+                        step=self.metrics.completed_steps,
+                    )
+                    step_metric_sums = {}
                     samples_this_step = 0
                     self.maybe_push_weights(writer)
                     if (
@@ -317,4 +356,5 @@ class TrainerLoop:
         finally:
             reader.stop()
             writer.close()
+            mlog.close()
         return self.metrics
