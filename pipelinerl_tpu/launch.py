@@ -103,115 +103,193 @@ def build_engine(cfg: Config, params: dict, model_cfg: ModelConfig, tokenizer) -
     return engine
 
 
+def debug_link_streams(exp_path: str, streams_from: str, topics: list[str]) -> None:
+    """Symlink stream topics from a previous run so missing upstream stages
+    are replaced by recorded-stream replay (reference launch.py:554-564)."""
+    src_root = Path(streams_from) / "streams"
+    dst_root = Path(exp_path) / "streams"
+    dst_root.mkdir(parents=True, exist_ok=True)
+    for topic in topics:
+        src = src_root / topic
+        dst = dst_root / topic
+        if not src.exists():
+            raise FileNotFoundError(f"No recorded stream {src} to replay")
+        if dst.is_symlink() or dst.exists():
+            continue
+        dst.symlink_to(src.resolve())
+        logger.info("Replaying stream %s from %s", topic, src)
+
+
+def _debug_stages(cfg: Config) -> set[str]:
+    """Which stages run, per cfg.debug.mode (reference launch.py:684-697)."""
+    mode = str(cfg.select("debug.mode", "") or "")
+    all_stages = {"actor", "preprocessor", "trainer"}
+    if not mode:
+        return all_stages
+    if mode == "open_loop":
+        return {"actor"}
+    stages = set(mode.split("+")) & (all_stages | {"finetune"})
+    if "finetune" in stages:
+        stages.discard("finetune")
+        stages.add("trainer")
+    if not stages:
+        raise ValueError(f"Unknown debug.mode {mode!r}")
+    return stages
+
+
 def run_inline(cfg: Config) -> dict[str, Any]:
     """Single-host end-to-end run: engine + actor + preprocessor + trainer in
-    one process, decoupled through streams. Returns summary stats."""
+    one process, decoupled through streams. Returns summary stats.
+
+    ``debug.mode`` runs a subset of stages with the missing upstream streams
+    replayed from ``debug.streams_from``."""
     exp_path = str(cfg.output_dir)
     Path(exp_path).mkdir(parents=True, exist_ok=True)
     setup_logging(Path(exp_path) / "logs")
     set_streams_backend(cfg.get("streams", Config({})).get("backend", "files"))
     cfg.save(Path(exp_path) / "conf" / "exp_config.yaml")
 
+    stages = _debug_stages(cfg)
+    streams_from = cfg.select("debug.streams_from")
+    if streams_from:
+        replay: list[str] = []
+        if "preprocessor" in stages and "actor" not in stages:
+            replay.append("actor")
+        if "trainer" in stages and "preprocessor" not in stages:
+            replay.append("training_data")
+        debug_link_streams(exp_path, str(streams_from), replay)
+
     params, model_cfg, tokenizer = build_model(cfg)
-    # The trainer donates its param buffers on every optimizer step, and
-    # same-device device_put aliases — the engine must own distinct buffers
-    # or it would decode from deleted arrays. (Cross-mesh pushes copy by
-    # construction; this inline single-device path is the aliasing case.)
-    # The value head (if any) is trainer-only.
-    engine_params = jax.tree.map(
-        jnp.copy, {k: v for k, v in params.items() if k != "value_head"}
-    )
-    engine = build_engine(cfg, engine_params, model_cfg, tokenizer)
-    engine.start()
+    engine = None
+    if "actor" in stages:
+        # The trainer donates its param buffers on every optimizer step, and
+        # same-device device_put aliases — the engine must own distinct
+        # buffers or it would decode from deleted arrays. (Cross-mesh pushes
+        # copy by construction.) The value head (if any) is trainer-only.
+        engine_params = jax.tree.map(
+            jnp.copy, {k: v for k, v in params.items() if k != "value_head"}
+        )
+        engine = build_engine(cfg, engine_params, model_cfg, tokenizer)
+        engine.start()
 
     trainer_state = TrainerState(exp_path)
     trainer_state.start_listening()
+    if "trainer" not in stages:
+        # no trainer: fake version 0 so actors/preprocessors proceed
+        # (reference state.py:28-32)
+        trainer_state.debug_mode_init()
 
-    llm = InProcessLLM(engine, tokenizer, dict(cfg.llm.parameters.items()))
+    preprocessor = trainer = actor = None
+    threads: list[threading.Thread] = []
+    max_steps = int(cfg.finetune.get("max_train_steps", 100))
 
-    ref_score_fn = None
-    if float(cfg.finetune.rl.get("kl_coef", 0.0)) != 0.0:
-        # reference-policy scoring against the frozen initial weights: a
-        # second engine sharing the device (reference runs a separate
-        # ref vLLM, launch.py:149)
-        ref_engine = build_engine(cfg, params, model_cfg, tokenizer)
-        ref_score_fn = ref_engine.score_tokens
-
-    preprocessor = Preprocessor(
-        cfg,
-        exp_path,
-        trainer_state,
-        eos_token_id=tokenizer.eos_token_id,
-        ref_score_fn=ref_score_fn,
-    )
-    def push_weights(new_params: dict, version: int) -> None:
-        # copy so the engine's weights survive the trainer's buffer donation
-        engine.update_params(
-            jax.tree.map(
-                jnp.copy, {k: v for k, v in new_params.items() if k != "value_head"}
-            ),
-            version,
+    if "preprocessor" in stages:
+        ref_score_fn = None
+        if float(cfg.finetune.rl.get("kl_coef", 0.0)) != 0.0:
+            # reference-policy scoring against the frozen initial weights: a
+            # second engine sharing the device (reference runs a separate
+            # ref vLLM, launch.py:149)
+            ref_engine = build_engine(cfg, params, model_cfg, tokenizer)
+            ref_score_fn = ref_engine.score_tokens
+        preprocessor = Preprocessor(
+            cfg,
+            exp_path,
+            trainer_state,
+            eos_token_id=tokenizer.eos_token_id,
+            ref_score_fn=ref_score_fn,
+        )
+        threads.append(
+            threading.Thread(target=preprocessor.run, name="preprocessor", daemon=True)
         )
 
-    trainer = TrainerLoop(
-        cfg,
-        params,
-        model_cfg,
-        exp_path,
-        weight_update_cb=push_weights,
-    )
+    if "trainer" in stages:
+        def push_weights(new_params: dict, version: int) -> None:
+            # copy: the engine's weights must survive the trainer's donation
+            if engine is None:
+                return
+            engine.update_params(
+                jax.tree.map(
+                    jnp.copy,
+                    {k: v for k, v in new_params.items() if k != "value_head"},
+                ),
+                version,
+            )
 
-    loader = resolve(cfg.dataset_loader)
-    problems = loader(list(cfg.get("train_dataset_names", ["train"])))
-    if cfg.get("train_subset"):
-        problems = problems[: int(cfg.train_subset)]
-    rollout_policy = resolve(cfg.rollout_policy)
-    actor = ActorLoop(
-        cfg,
-        [llm],
-        problems,
-        trainer_state,
-        exp_path,
-        rollout_policy,
-        is_training=True,
-    )
+        trainer = TrainerLoop(
+            cfg, params, model_cfg, exp_path, weight_update_cb=push_weights
+        )
+        threads.append(
+            threading.Thread(
+                target=trainer.run, args=(max_steps,), name="trainer", daemon=True
+            )
+        )
 
-    max_steps = int(cfg.finetune.get("max_train_steps", 100))
+    if "actor" in stages:
+        llm = InProcessLLM(engine, tokenizer, dict(cfg.llm.parameters.items()))
+        loader = resolve(cfg.dataset_loader)
+        problems = loader(list(cfg.get("train_dataset_names", ["train"])))
+        if cfg.get("train_subset"):
+            problems = problems[: int(cfg.train_subset)]
+        rollout_policy = resolve(cfg.rollout_policy)
+        actor = ActorLoop(
+            cfg, [llm], problems, trainer_state, exp_path, rollout_policy,
+            is_training=True,
+        )
+
     total_groups = cfg.get("total_groups")
-
-    threads = [
-        threading.Thread(target=preprocessor.run, name="preprocessor", daemon=True),
-        threading.Thread(target=trainer.run, args=(max_steps,), name="trainer", daemon=True),
-    ]
     for t in threads:
         t.start()
 
-    actor_stats = asyncio.run(actor.run(total_groups=total_groups))
+    if actor is not None:
+        actor_stats = asyncio.run(actor.run(total_groups=total_groups))
+    else:
+        from .actor import ActorStats
+
+        actor_stats = ActorStats()
+        # stage-subset run: wait for the trainer (or preprocessor) to finish
+        deadline = time.monotonic() + float(cfg.get("drain_timeout_s", 120))
+        while (
+            "trainer" in stages
+            and not trainer_state.training_done
+            and time.monotonic() < deadline
+        ):
+            time.sleep(0.1)
 
     # actors done; let the trainer drain, then stop everything
-    deadline = time.monotonic() + float(cfg.get("drain_timeout_s", 120))
-    while not trainer_state.training_done and time.monotonic() < deadline:
-        time.sleep(0.1)
-    preprocessor.stop()
+    if "trainer" in stages:
+        deadline = time.monotonic() + float(cfg.get("drain_timeout_s", 120))
+        while not trainer_state.training_done and time.monotonic() < deadline:
+            time.sleep(0.1)
+    if preprocessor is not None:
+        preprocessor.stop()
     for t in threads:
         t.join(timeout=30)
-    engine.stop()
+    if engine is not None:
+        engine.stop()
     trainer_state.stop()
 
     return {
         "actor": actor_stats.snapshot(),
-        "trainer": {
-            "completed_steps": trainer.metrics.completed_steps,
-            "samples": trainer.metrics.samples,
-            "tokens": trainer.metrics.tokens,
-            "train_loss": trainer.metrics.train_loss,
-            "last_broadcasted_version": trainer.metrics.last_broadcasted_version,
-        },
-        "engine": {
-            "generated_tokens": engine.total_generated_tokens,
-            "prefill_tokens": engine.total_prefill_tokens,
-            "decode_steps": engine.decode_steps,
-        },
+        "trainer": (
+            {
+                "completed_steps": trainer.metrics.completed_steps,
+                "samples": trainer.metrics.samples,
+                "tokens": trainer.metrics.tokens,
+                "train_loss": trainer.metrics.train_loss,
+                "last_broadcasted_version": trainer.metrics.last_broadcasted_version,
+            }
+            if trainer is not None
+            else {}
+        ),
+        "engine": (
+            {
+                "generated_tokens": engine.total_generated_tokens,
+                "prefill_tokens": engine.total_prefill_tokens,
+                "decode_steps": engine.decode_steps,
+            }
+            if engine is not None
+            else {}
+        ),
     }
 
 
