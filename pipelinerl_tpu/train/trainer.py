@@ -140,9 +140,28 @@ class TrainerLoop:
         rl_cfg_dict["batch_size"] = int(rl_cfg_dict["batch_size"]) or self.samples_per_step
         self.loss_cfg = RLLossConfig(**rl_cfg_dict)
 
+        # multi-chip: shard params/optimizer over a (dp, cp, tp) mesh; the
+        # jitted passes below need no changes — GSPMD propagates the input
+        # shardings and inserts the collectives (SURVEY.md §2.5)
+        par = cfg.get("parallel", None)
+        self.mesh = None
+        self.dp = 1
+        if par is not None:
+            dp = int(par.get("dp", 1))
+            cp = int(par.get("cp", 1))
+            tp = int(par.get("tp", 1))
+            if dp * cp * tp > 1:
+                from ..parallel import make_mesh, shard_batch, shard_params
+
+                self.mesh = make_mesh(n_devices=dp * cp * tp, tp=tp, cp=cp)
+                self.dp = dp
+                self.params = shard_params(self.params, self.mesh)
+                self._shard_batch = shard_batch
+
         self.optimizer, self.lr_schedule = make_optimizer(cfg)
-        self.opt_state = self.optimizer.init(self.params)
+        self.opt_state = jax.jit(self.optimizer.init)(self.params)
         self._grad_accum = None
+        self._row_buffer: list[TrainerBatch] = []
 
         self.input_spec = SingleStreamSpec(
             exp_path=exp_path, topic=input_topic, partition=rank
@@ -215,9 +234,26 @@ class TrainerLoop:
         return True
 
     def train_pass(self, batch: TrainerBatch) -> dict:
-        """One micro-batch gradient pass; returns host metrics."""
-        arrays = batch_to_device(batch)
-        sentinel = jnp.asarray(1.0 if batch.sentinel else 0.0)
+        """One micro-batch gradient pass. With dp > 1, rows buffer until one
+        row per data-parallel shard is available and the stacked [dp, L]
+        batch runs as a single sharded pass (a sentinel row's labels are all
+        masked, so it contributes exactly zero loss). Returns host metrics
+        ({} while buffering)."""
+        self._row_buffer.append(batch)
+        if len(self._row_buffer) < self.dp:
+            return {}
+        rows, self._row_buffer = self._row_buffer, []
+        stacked = {
+            name: np.concatenate([r.arrays()[name] for r in rows], axis=0)
+            for name in rows[0].arrays()
+        }
+        if self.mesh is not None:
+            with self.mesh:
+                arrays = self._shard_batch(stacked, self.mesh)
+        else:
+            arrays = {k: jnp.asarray(v) for k, v in stacked.items()}
+        all_sentinel = all(r.sentinel for r in rows)
+        sentinel = jnp.asarray(1.0 if all_sentinel else 0.0)
         step = jnp.asarray(self.metrics.completed_steps, jnp.float32)
         grads, loss, metrics = self._grad_pass(self.params, arrays, step, sentinel)
         if self._grad_accum is None:
@@ -225,9 +261,10 @@ class TrainerLoop:
         else:
             self._grad_accum = self._accumulate(self._grad_accum, grads)
         self.metrics.passes += 1
-        if not batch.sentinel:
-            self.metrics.samples += batch.num_sequences
-            self.metrics.tokens += batch.length - batch.padding
+        for r in rows:
+            if not r.sentinel:
+                self.metrics.samples += r.num_sequences
+                self.metrics.tokens += r.length - r.padding
         self.metrics.train_loss = float(loss)
         return {k: float(v) for k, v in metrics.items()}
 
