@@ -14,6 +14,10 @@ DEFAULT_DOMAIN_ROLLOUTS: dict[str, str] = {
     "counting": "pipelinerl_tpu.domains.counting.generate_counting_rollout",
     "bandit": "pipelinerl_tpu.domains.bandit.generate_bandit_rollout",
     "math": "pipelinerl_tpu.domains.math.rollouts.generate_math_rollout",
+    "tir": "pipelinerl_tpu.domains.tir.rollouts.generate_tir_rollout",
+    "coding": "pipelinerl_tpu.domains.coding.rollouts.generate_coding_rollout",
+    "fn_calling": "pipelinerl_tpu.domains.fn_calling.rollouts.generate_fn_calling_rollout",
+    "ifeval": "pipelinerl_tpu.domains.ifeval.rollouts.generate_ifeval_rollout",
 }
 
 _RUNTIME_REGISTRY: dict[str, str] = {}
