@@ -23,7 +23,13 @@ from typing import Any, Callable, Sequence
 
 from .config import Config
 from .state import TrainerState
-from .streams import RangeStreamWriter, SingleStreamSpec, StreamRangeSpec, StreamReader
+from .streams import (
+    RangeStreamWriter,
+    SingleStreamSpec,
+    StreamRangeSpec,
+    StreamReader,
+    get_streams_backend,
+)
 from .train.advantages import group_advantages_all_zero, populate_rl_data
 from .train.packing import greedy_pack, make_sentinel_batch, pack_samples
 
@@ -155,9 +161,10 @@ class Preprocessor:
         """Pack from the ring buffer head into one fixed-shape batch per
         trainer partition (lead), topping up with sentinels so every lead
         sees the same number of micro-batches (reference preprocess.py:594-663)."""
+        as_arrays = get_streams_backend() == "binary"
         for partition in range(self.num_trainers):
             batch = self._next_batch()
-            writer.write(batch.to_msg(), partition=partition)
+            writer.write(batch.to_msg(arrays=as_arrays), partition=partition)
             self.published_samples += batch.num_sequences
 
     def _next_batch(self):

@@ -34,7 +34,7 @@ _BACKEND = "files"
 
 def set_streams_backend(backend: str) -> None:
     global _BACKEND
-    if backend not in ("files", "memory"):
+    if backend not in ("files", "memory", "binary"):
         raise ValueError(f"Unknown streams backend {backend!r}")
     _BACKEND = backend
 
@@ -105,13 +105,14 @@ def reset_memory_streams() -> None:
 # ---------------------------------------------------------------------------
 
 
-def stream_file_path(spec: SingleStreamSpec) -> Path:
+def stream_file_path(spec: SingleStreamSpec, backend: str = "files") -> Path:
+    ext = "scf" if backend == "binary" else "jsonl"
     return (
         Path(spec.exp_path)
         / "streams"
         / spec.topic
         / str(spec.instance)
-        / f"{spec.partition}.jsonl"
+        / f"{spec.partition}.{ext}"
     )
 
 
@@ -126,6 +127,9 @@ class StreamWriter:
             path = stream_file_path(spec)
             path.parent.mkdir(parents=True, exist_ok=True)
             self._fh = open(path, "a", buffering=1024 * 1024)
+        elif self.backend == "binary":
+            self._path = stream_file_path(spec, "binary")
+            self._path.parent.mkdir(parents=True, exist_ok=True)
         else:
             self._mem = _memory_stream(spec)
 
@@ -134,6 +138,10 @@ class StreamWriter:
             assert self._fh is not None
             self._fh.write(json.dumps(msg, separators=(",", ":")) + "\n")
             self._fh.flush()
+        elif self.backend == "binary":
+            from .streams_binary import write_frame
+
+            write_frame(self._path, msg)
         else:
             self._mem.append(msg)
 
@@ -203,6 +211,11 @@ class StreamReader:
         # messages drained from the backend but not yet handed to the caller
         # (read_available may stop mid-chunk; nothing may be lost)
         self._pending: deque[dict] = deque()
+        self._frame_reader = None
+        if self.backend == "binary":
+            from .streams_binary import FrameReader
+
+            self._frame_reader = FrameReader(stream_file_path(spec, "binary"))
         self._stop = threading.Event()
 
     def stop(self) -> None:
@@ -235,7 +248,10 @@ class StreamReader:
                 yield json.loads(line)
 
     def read_available(self, max_messages: int | None = None) -> Iterator[dict]:
-        if self.backend == "files":
+        if self.backend == "binary":
+            assert self._frame_reader is not None
+            self._pending.extend(self._frame_reader.read_available())
+        elif self.backend == "files":
             self._pending.extend(self._drain_file())
         else:
             mem = _memory_stream(self.spec)

@@ -200,11 +200,19 @@ class TrainerBatch:
             out[name] = getattr(self, name)
         return out
 
-    def to_msg(self) -> dict[str, Any]:
-        """Serialize for the training_data stream (lists, JSON-safe)."""
-        msg: dict[str, Any] = {
-            name: getattr(self, name)[0].tolist() for name in _INT_FIELDS + _FLOAT_FIELDS
-        }
+    def to_msg(self, arrays: bool = False) -> dict[str, Any]:
+        """Serialize for the training_data stream. ``arrays=True`` keeps
+        numpy arrays (binary stream backend: ~4-5x faster encode/decode than
+        the JSON list path on full packed batches)."""
+        if arrays:
+            msg: dict[str, Any] = {
+                name: getattr(self, name)[0] for name in _INT_FIELDS + _FLOAT_FIELDS
+            }
+        else:
+            msg = {
+                name: getattr(self, name)[0].tolist()
+                for name in _INT_FIELDS + _FLOAT_FIELDS
+            }
         msg["model_version"] = self.model_version
         msg["sentinel"] = self.sentinel
         msg["padding"] = self.padding

@@ -101,3 +101,49 @@ def test_read_available_max_messages_no_loss(tmp_path, backend):
     for _ in range(10):
         got.extend(m["i"] for m in reader.read_available(max_messages=1))
     assert got == list(range(10))
+
+
+def test_binary_backend_roundtrip(tmp_path):
+    import numpy as np
+
+    spec = SingleStreamSpec(str(tmp_path), "bin")
+    msg = {
+        "group_id": "g1",
+        "n": 7,
+        "x": 1.5,
+        "ids": np.arange(100, dtype=np.int32),
+        "floats": np.linspace(0, 1, 50, dtype=np.float32).reshape(2, 25),
+        "nested": {"list": [1, 2, 3], "s": "héllo"},
+    }
+    with StreamWriter(spec, "binary") as w:
+        for i in range(5):
+            w.write({**msg, "i": i})
+    reader = StreamReader(spec, "binary")
+    out = list(reader.read_available())
+    assert len(out) == 5
+    np.testing.assert_array_equal(out[0]["ids"], msg["ids"])
+    np.testing.assert_array_equal(out[3]["floats"], msg["floats"])
+    assert out[4]["i"] == 4 and out[4]["nested"]["s"] == "héllo"
+    # incremental follow + max_messages no-loss
+    with StreamWriter(spec, "binary") as w:
+        w.write({"i": 5})
+        w.write({"i": 6})
+    got = [m["i"] for m in reader.read_available(max_messages=1)]
+    got += [m["i"] for m in reader.read_available()]
+    assert got == [5, 6]
+
+
+def test_binary_backend_torn_tail(tmp_path):
+    from pipelinerl_tpu.streams import stream_file_path
+
+    spec = SingleStreamSpec(str(tmp_path), "torn")
+    with StreamWriter(spec, "binary") as w:
+        w.write({"i": 0})
+    path = stream_file_path(spec, "binary")
+    # append a torn frame: valid header promising more bytes than exist
+    import struct
+
+    with open(path, "ab") as f:
+        f.write(b"SCF1" + struct.pack("<Q", 9999) + b"\x00\x00\x00\x00" + b"partial")
+    reader = StreamReader(spec, "binary")
+    assert [m["i"] for m in reader.read_available()] == [0]  # torn tail ignored
