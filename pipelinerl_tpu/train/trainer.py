@@ -70,13 +70,16 @@ def make_optimizer(cfg: Config) -> tuple[optax.GradientTransformation, Callable]
             end_value=0.0,
         )
     elif sched_type in ("constant", "constant_with_warmup"):
-        schedule = optax.join_schedules(
-            [
-                optax.linear_schedule(0.0, lr, max(1, warmup)),
-                optax.constant_schedule(lr),
-            ],
-            boundaries=[max(1, warmup)],
-        )
+        if warmup > 0:
+            schedule = optax.join_schedules(
+                [
+                    optax.linear_schedule(0.0, lr, warmup),
+                    optax.constant_schedule(lr),
+                ],
+                boundaries=[warmup],
+            )
+        else:
+            schedule = optax.constant_schedule(lr)
     else:
         raise ValueError(f"Unknown lr_scheduler_type {sched_type!r}")
 
@@ -140,6 +143,24 @@ class TrainerLoop:
         rl_cfg_dict["batch_size"] = int(rl_cfg_dict["batch_size"]) or self.samples_per_step
         self.loss_cfg = RLLossConfig(**rl_cfg_dict)
 
+        # LoRA: the trainable tree becomes the adapter factors; base weights
+        # freeze (reference finetune/lora.py via peft — here a merge-based
+        # functional design, train/lora.py)
+        from .lora import init_lora_params, lora_config_from, merge_lora
+
+        self.lora_cfg = lora_config_from(cfg.finetune)
+        self.frozen_params: dict = {}
+        if self.lora_cfg.enabled:
+            self.frozen_params = self.params
+            self.params = init_lora_params(
+                jax.random.key(int(cfg.get("seed", 0)) + 7),
+                self.frozen_params,
+                self.lora_cfg,
+            )
+            self._merge = jax.jit(
+                lambda frozen, adapters: merge_lora(frozen, adapters, self.lora_cfg)
+            )
+
         # multi-chip: shard params/optimizer over a (dp, cp, tp) mesh; the
         # jitted passes below need no changes — GSPMD propagates the input
         # shardings and inserts the collectives (SURVEY.md §2.5)
@@ -151,11 +172,21 @@ class TrainerLoop:
             cp = int(par.get("cp", 1))
             tp = int(par.get("tp", 1))
             if dp * cp * tp > 1:
+                from jax.sharding import NamedSharding, PartitionSpec
+
                 from ..parallel import make_mesh, shard_batch, shard_params
 
                 self.mesh = make_mesh(n_devices=dp * cp * tp, tp=tp, cp=cp)
                 self.dp = dp
-                self.params = shard_params(self.params, self.mesh)
+                if self.lora_cfg.enabled:
+                    # adapters are tiny: replicate; shard the frozen base
+                    rep = NamedSharding(self.mesh, PartitionSpec())
+                    self.params = jax.tree.map(
+                        lambda x: jax.device_put(x, rep), self.params
+                    )
+                    self.frozen_params = shard_params(self.frozen_params, self.mesh)
+                else:
+                    self.params = shard_params(self.params, self.mesh)
                 self._shard_batch = shard_batch
 
         self.optimizer, self.lr_schedule = make_optimizer(cfg)
@@ -173,10 +204,13 @@ class TrainerLoop:
         attn_impl = str(cfg.finetune.get("attn_impl", "xla"))
         max_step = self.max_train_steps
 
-        def grad_pass(params, batch, step, sentinel):
+        lora_cfg = self.lora_cfg
+
+        def grad_pass(params, frozen, batch, step, sentinel):
             def loss_fn(p):
+                full = merge_lora(frozen, p, lora_cfg) if lora_cfg.enabled else p
                 return rl_loss(
-                    p, model_cfg, self.loss_cfg, batch, step, max_step, sentinel,
+                    full, model_cfg, self.loss_cfg, batch, step, max_step, sentinel,
                     remat=remat, attn_impl=attn_impl,
                 )
             (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -209,7 +243,13 @@ class TrainerLoop:
             self.opt_state,
             dataclasses.asdict(self.metrics),
         )
-        export_hf(self.checkpoint_dir, self.params, self.model_cfg, tokenizer)
+        export_params = (
+            self._merge(self.frozen_params, self.params)
+            if self.lora_cfg.enabled
+            else self.params
+        )
+        export_params = {k: v for k, v in export_params.items() if k != "value_head"}
+        export_hf(self.checkpoint_dir, export_params, self.model_cfg, tokenizer)
         logger.info(
             "Saved checkpoint at step %d (%d samples)",
             self.metrics.completed_steps,
@@ -255,7 +295,9 @@ class TrainerLoop:
         all_sentinel = all(r.sentinel for r in rows)
         sentinel = jnp.asarray(1.0 if all_sentinel else 0.0)
         step = jnp.asarray(self.metrics.completed_steps, jnp.float32)
-        grads, loss, metrics = self._grad_pass(self.params, arrays, step, sentinel)
+        grads, loss, metrics = self._grad_pass(
+            self.params, self.frozen_params, arrays, step, sentinel
+        )
         if self._grad_accum is None:
             self._grad_accum = grads
         else:
@@ -286,7 +328,12 @@ class TrainerLoop:
             >= self.weight_update_interval
         ):
             if self.weight_update_cb is not None:
-                self.weight_update_cb(self.params, version)
+                push = (
+                    self._merge(self.frozen_params, self.params)
+                    if self.lora_cfg.enabled
+                    else self.params
+                )
+                self.weight_update_cb(push, version)
             self.publish(writer, WeightUpdateSuccess(version=version))
             self.metrics.last_broadcasted_version = version
             return True

@@ -22,14 +22,14 @@ from pipelinerl_tpu.train.trainer import TrainerLoop
 EOS = 9
 
 
-def make_batch_msgs(n, seq_length=64, rng=None):
+def make_batch_msgs(n, seq_length=64, rng=None, vocab=120):
     rng = rng or np.random.default_rng(0)
     msgs = []
     for i in range(n):
         samples = []
         for r in range(2):
             n_prompt, n_out = 2, 5
-            ids = rng.integers(1, 120, n_prompt + n_out).tolist()
+            ids = rng.integers(1, vocab, n_prompt + n_out).tolist()
             samples.append(
                 prepare_rl_fields(
                     {
