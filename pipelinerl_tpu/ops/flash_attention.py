@@ -68,7 +68,11 @@ def mha_packed_flash(
 ) -> jnp.ndarray:
     B, L, H, Dh = q.shape
     scale = scale if scale is not None else Dh**-0.5
-    kernel = _get_kernel(H, L, L, interpret)
+    # The kernel object (mask-info arrays included) must be built OUTSIDE any
+    # active trace: it is cached and reused across jit/grad traces, and
+    # arrays captured as tracers would leak (UnexpectedTracerError).
+    with jax.ensure_compile_time_eval():
+        kernel = _get_kernel(H, L, L, interpret)
 
     def one_row(qb, kb, vb, segb):
         seg = _sk.SegmentIds(q=segb, kv=segb)

@@ -73,3 +73,19 @@ def test_flash_forward_in_model():
     finally:
         fa.mha_packed_flash = orig
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-3, rtol=5e-3)
+
+
+def test_kernel_cache_reused_across_traces():
+    """Regression: the cached splash kernel must survive reuse in a DIFFERENT
+    trace (fwd jit then grad jit at the same shape) without tracer leaks."""
+    rng = np.random.default_rng(3)
+    q, k, v, seg, pos = make_inputs(rng, L=128, n_segs=2)
+
+    fwd = jax.jit(lambda q, k, v: mha_packed_flash(q, k, v, seg, pos, interpret=True))
+    _ = fwd(q, k, v)
+
+    grad = jax.jit(
+        jax.grad(lambda q: jnp.sum(mha_packed_flash(q, k, v, seg, pos, interpret=True) ** 2))
+    )
+    g = grad(q)
+    assert np.isfinite(np.asarray(g)).all()
