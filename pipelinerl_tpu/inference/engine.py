@@ -61,6 +61,11 @@ class EngineConfig:
     window_pipeline_depth: int = 2
     # attention implementation for prefill/score forwards: "xla" | "flash"
     attn_impl: str = "xla"
+    # tensor parallelism: shard params (head/ffn dims) and KV caches (kv-head
+    # dim) over a tp-axis mesh; GSPMD inserts the collectives in the existing
+    # jitted programs (the reference's vLLM tensor-parallel-size,
+    # conf/base.yaml:70)
+    tp: int = 1
 
 
 @dataclass
@@ -144,8 +149,26 @@ class InferenceEngine:
         L = model_cfg.num_layers
         K, Dh = model_cfg.num_kv_heads, model_cfg.head_dim_
         cache_shape = (L, S, T, K, Dh)
+
+        self.mesh = None
+        if cfg.tp > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel import make_mesh, shard_params
+
+            self.mesh = make_mesh(n_devices=cfg.tp, tp=cfg.tp)
+            self.params = shard_params(self.params, self.mesh)
+            cache_spec = (
+                P(None, None, None, "tp", None)
+                if K % cfg.tp == 0
+                else P()  # too few kv heads: replicate the cache
+            )
+            self._cache_sharding = NamedSharding(self.mesh, cache_spec)
         self.k_cache = jnp.zeros(cache_shape, cfg.cache_dtype)
         self.v_cache = jnp.zeros(cache_shape, cfg.cache_dtype)
+        if self.mesh is not None:
+            self.k_cache = jax.device_put(self.k_cache, self._cache_sharding)
+            self.v_cache = jax.device_put(self.v_cache, self._cache_sharding)
         self.cache_lens = jnp.zeros((S,), jnp.int32)
 
         self._slots: list[_Slot | None] = [None] * S
@@ -203,7 +226,14 @@ class InferenceEngine:
         return future
 
     def update_params(self, params: dict, version: int) -> None:
-        """Swap weights between decode steps — no pause, no drain."""
+        """Swap weights between decode steps — no pause, no drain. Under TP
+        the incoming tree is resharded onto the engine mesh (a device-to-
+        device transfer — the reference's NCCL broadcast plane collapses to
+        this device_put)."""
+        if self.mesh is not None:
+            from ..parallel import shard_params
+
+            params = shard_params(params, self.mesh)
         with self._params_lock:
             self._pending_params = (params, version)
         self._work_event.set()

@@ -97,10 +97,62 @@ def build_engine(cfg: Config, params: dict, model_cfg: ModelConfig, tokenizer) -
             decode_window=int(ecfg.get("decode_window", 8)),
             window_pipeline_depth=int(ecfg.get("window_pipeline_depth", 2)),
             attn_impl=str(ecfg.get("attn_impl", "xla")),
+            tp=int(ecfg.get("tp", 1)),
         ),
         eos_token_id=tokenizer.eos_token_id,
     )
     return engine
+
+
+def validate_config(cfg: Config) -> None:
+    """Cross-cutting invariants checked before anything launches
+    (reference validate_config, launch.py:53-103)."""
+    problems: list[str] = []
+    seq_length = int(cfg.finetune.seq_length)
+    engine_max = int(cfg.select("engine.max_len", 0) or 0)
+    if engine_max > seq_length:
+        problems.append(
+            f"engine.max_len ({engine_max}) > finetune.seq_length ({seq_length}): "
+            "generated samples would not fit a packed trainer batch"
+        )
+    buckets = list(cfg.select("engine.prefill_buckets", []) or [])
+    if buckets and max(buckets) > engine_max:
+        problems.append(
+            f"largest prefill bucket ({max(buckets)}) exceeds engine.max_len ({engine_max})"
+        )
+    attempts = int(cfg.get("attempts", 1))
+    if attempts < 2 and not cfg.finetune.get("value_head", False):
+        problems.append(
+            "attempts < 2 with no value head: leave-one-out advantages are "
+            "always zero (nothing to learn from)"
+        )
+    samples_per_step = int(cfg.finetune.samples_per_step)
+    if samples_per_step % attempts != 0:
+        logger.warning(
+            "finetune.samples_per_step (%d) is not a multiple of attempts (%d); "
+            "group boundaries will straddle optimizer steps",
+            samples_per_step,
+            attempts,
+        )
+    max_tokens = int(cfg.select("llm.parameters.max_tokens", 0) or 0)
+    if max_tokens >= engine_max:
+        problems.append(
+            f"llm.parameters.max_tokens ({max_tokens}) >= engine.max_len "
+            f"({engine_max}): no room for any prompt in the KV cache"
+        )
+    policy = cfg.select("finetune.rl.policy_loss", "reinforce")
+    if policy not in ("reinforce", "ppo", "gspo"):
+        problems.append(f"unknown finetune.rl.policy_loss {policy!r}")
+    mode = str(cfg.select("debug.mode", "") or "")
+    if mode and mode != "open_loop":
+        stages = _debug_stages(cfg)
+        if "actor" not in stages and not cfg.select("debug.streams_from"):
+            problems.append(
+                f"debug.mode={mode!r} drops the actor but debug.streams_from "
+                "is unset — nothing would feed the pipeline"
+            )
+    if problems:
+        raise ValueError("Invalid config:\n- " + "\n- ".join(problems))
 
 
 def debug_link_streams(exp_path: str, streams_from: str, topics: list[str]) -> None:
@@ -143,6 +195,7 @@ def run_inline(cfg: Config) -> dict[str, Any]:
 
     ``debug.mode`` runs a subset of stages with the missing upstream streams
     replayed from ``debug.streams_from``."""
+    validate_config(cfg)
     exp_path = str(cfg.output_dir)
     Path(exp_path).mkdir(parents=True, exist_ok=True)
     setup_logging(Path(exp_path) / "logs")
@@ -320,6 +373,7 @@ def run_processes(cfg: Config) -> int:
 
     from .world import WorldMap
 
+    validate_config(cfg)
     exp_path = Path(str(cfg.output_dir))
     exp_path.mkdir(parents=True, exist_ok=True)
     setup_logging(exp_path / "logs" / "launcher")

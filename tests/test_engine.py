@@ -176,3 +176,33 @@ def test_oversized_prompt_aborts(tiny_model):
     req = GenRequest(list(range(1, 40)), SamplingParams())
     res = engine.submit(req).result(timeout=1)
     assert res.finish_reason == "abort"
+
+
+def test_tp_sharded_engine_matches_unsharded(tiny_model):
+    """Greedy outputs must be identical with tensor-parallel sharding."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2+ devices")
+    params, cfg = tiny_model
+    plain = make_engine(params, cfg)
+    prompts = [[5, 7, 9], [11, 3, 2, 4]]
+    reqs = [GenRequest(p, SamplingParams(temperature=0.0, max_tokens=6)) for p in prompts]
+    plain_results = run_sync(plain, reqs)
+
+    tp_engine = InferenceEngine(
+        params,
+        cfg,
+        EngineConfig(
+            max_slots=3, max_len=64, prefill_buckets=(8, 16, 32),
+            cache_dtype=jnp.float32, tp=2,
+        ),
+        eos_token_id=EOS,
+    )
+    assert tp_engine.mesh is not None
+    tp_reqs = [GenRequest(p, SamplingParams(temperature=0.0, max_tokens=6)) for p in prompts]
+    tp_results = run_sync(tp_engine, tp_reqs)
+    for a, b in zip(plain_results, tp_results):
+        assert a.token_ids == b.token_ids
+    # in-flight reshard push works too
+    tp_engine.update_params(params, version=5)
+    tp_engine.step()
+    assert tp_engine.version == 5
