@@ -49,14 +49,23 @@ class ActorStats:
     samples_written: int = 0
     output_tokens: int = 0
     metrics: dict[str, list[float]] = field(default_factory=dict)
+    # per-problem success history → always/sometimes/never aggregation
+    # (reference utils.py:382-401) — cumulative, not windowed
+    problem_success: dict[str, list[float]] = field(default_factory=dict)
+    # model-version lag of produced samples (reference actor lag metrics)
+    version_lags: list[float] = field(default_factory=list)
 
-    def record_rollout(self, result: RolloutResult) -> None:
+    def record_rollout(self, result: RolloutResult, problem_key: str | None = None) -> None:
         self.rollouts_completed += 1
         for name, value in result.metrics.model_dump().items():
             if isinstance(value, bool):
                 value = float(value)
             if isinstance(value, (int, float)):
                 self.metrics.setdefault(name, []).append(float(value))
+        if problem_key is not None:
+            self.problem_success.setdefault(problem_key, []).append(
+                float(result.metrics.success)
+            )
 
     def snapshot(self) -> dict[str, Any]:
         """Windowed stats: metric buffers drain on publish so each snapshot
@@ -71,6 +80,13 @@ class ActorStats:
             for stat, val in calculate_stats(values).items():
                 out[f"{name}_{stat}"] = val
         self.metrics = {}
+        from .utils import always_or_never_success_stats
+
+        out.update(always_or_never_success_stats(self.problem_success))
+        if self.version_lags:
+            for stat, val in calculate_stats(self.version_lags).items():
+                out[f"model_version_lag_{stat}"] = val
+            self.version_lags = []
         return out
 
 
@@ -282,7 +298,9 @@ class ActorLoop:
                     except StopIteration:
                         exhausted = True
                         break
-                    in_flight.add(asyncio.create_task(self._run_group(problem)))
+                    task = asyncio.create_task(self._run_group(problem))
+                    task.problem = problem  # for per-problem success stats
+                    in_flight.add(task)
                     submitted += 1
                 if not in_flight:
                     if self.trainer_state.training_done:
@@ -299,8 +317,20 @@ class ActorLoop:
                             if r.domain:
                                 sampler.record_completion(r.domain)
                     self._apply_difficulty_aware_penalty(results)
+                    problem_key = None
+                    problem = getattr(task, "problem", None)
+                    if problem is not None:
+                        import json as _json
+
+                        problem_key = _json.dumps(
+                            problem, sort_keys=True, default=str
+                        )[:256]
+                    current_version = self.trainer_state.propagated_weight_version or 0
                     for r in results:
-                        self.stats.record_rollout(r)
+                        self.stats.record_rollout(r, problem_key)
+                        self.stats.version_lags.append(
+                            float(current_version - (r.model_version or 0))
+                        )
                     self._write_group(writer, results)
                     completed += 1
                     if completed % publish_every == 0:
