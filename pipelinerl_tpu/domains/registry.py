@@ -18,6 +18,7 @@ DEFAULT_DOMAIN_ROLLOUTS: dict[str, str] = {
     "coding": "pipelinerl_tpu.domains.coding.rollouts.generate_coding_rollout",
     "fn_calling": "pipelinerl_tpu.domains.fn_calling.rollouts.generate_fn_calling_rollout",
     "ifeval": "pipelinerl_tpu.domains.ifeval.rollouts.generate_ifeval_rollout",
+    "logic": "pipelinerl_tpu.domains.logic.rollouts.generate_logic_rollout",
 }
 
 _RUNTIME_REGISTRY: dict[str, str] = {}
