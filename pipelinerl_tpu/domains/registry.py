@@ -19,6 +19,7 @@ DEFAULT_DOMAIN_ROLLOUTS: dict[str, str] = {
     "fn_calling": "pipelinerl_tpu.domains.fn_calling.rollouts.generate_fn_calling_rollout",
     "ifeval": "pipelinerl_tpu.domains.ifeval.rollouts.generate_ifeval_rollout",
     "logic": "pipelinerl_tpu.domains.logic.rollouts.generate_logic_rollout",
+    "deep_research": "pipelinerl_tpu.domains.deep_research.rollouts.generate_research_rollout",
 }
 
 _RUNTIME_REGISTRY: dict[str, str] = {}
