@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.transformer import ModelConfig, decode_step, forward
+from ..models.transformer import ModelConfig, decode_step_staged, forward
 from ..ops.sampling import sample_fast, sample_masked
 
 logger = logging.getLogger(__name__)
@@ -61,6 +61,8 @@ class EngineConfig:
     window_pipeline_depth: int = 2
     # attention implementation for prefill/score forwards: "xla" | "flash"
     attn_impl: str = "xla"
+    # decode-window cache attention: "xla" | "ragged" (Pallas kernel)
+    decode_attn_impl: str = "xla"
     # tensor parallelism: shard params (head/ffn dims) and KV caches (kv-head
     # dim) over a tp-axis mesh; GSPMD inserts the collectives in the existing
     # jitted programs (the reference's vLLM tensor-parallel-size,
@@ -148,7 +150,10 @@ class InferenceEngine:
         S, T = cfg.max_slots, cfg.max_len
         L = model_cfg.num_layers
         K, Dh = model_cfg.num_kv_heads, model_cfg.head_dim_
-        cache_shape = (L, S, T, K, Dh)
+        # + window: staged-band merges always stay in bounds (valid tokens
+        # never pass position max_len - 1; the tail is speculative scratch)
+        T_alloc = T + max(1, cfg.decode_window)
+        cache_shape = (L, S, T_alloc, K, Dh)
 
         self.mesh = None
         if cfg.tp > 1:
@@ -190,11 +195,17 @@ class InferenceEngine:
 
         window = max(1, cfg.decode_window)
         self._decode_fast = jax.jit(
-            partial(_decode_window_fn, model_cfg, False, window),
+            partial(
+                _decode_window_fn, model_cfg, False, window,
+                attn_impl=cfg.decode_attn_impl,
+            ),
             donate_argnums=(1, 2),
         )
         self._decode_masked = jax.jit(
-            partial(_decode_window_fn, model_cfg, True, window),
+            partial(
+                _decode_window_fn, model_cfg, True, window,
+                attn_impl=cfg.decode_attn_impl,
+            ),
             donate_argnums=(1, 2),
         )
         self._rng_device = jax.random.key(cfg.seed + 1)
@@ -479,12 +490,48 @@ class InferenceEngine:
 # ---------------------------------------------------------------------------
 
 
+def _merge_staged(
+    cache: jnp.ndarray,  # [L, S, T_alloc, K, Dh]
+    staged: jnp.ndarray,  # [L, S, W, K, Dh]
+    base_lens: jnp.ndarray,  # [S]
+) -> jnp.ndarray:
+    """Write each slot's staged band at its base length — ONE windowed
+    scatter per decode window instead of one scatter per step (the per-step
+    scatter cost 1.37 ms/step on v5e, ~1750× the bytes-moved floor; see
+    scripts/probe_window.py). T_alloc = capacity + W keeps every window
+    write in bounds, so XLA's drop-out-of-bounds scatter semantics never
+    discard real tokens."""
+    L, S, T_alloc, K, Dh = cache.shape
+    W = staged.shape[1]  # staged layout [L, W, S, K, Dh]
+    # one update row per slot: [S, L, W, K, Dh]; window starts at (s, base_s).
+    # update window dims (1,2,3,4) map to operand window dims (0=L, 2=T, 3=K,
+    # 4=Dh) in ascending operand order; operand dim 1 (S) is the indexed dim.
+    updates = staged.transpose(2, 0, 1, 3, 4)
+    starts = jnp.stack(
+        [jnp.arange(S, dtype=jnp.int32), jnp.minimum(base_lens, T_alloc - W)], axis=-1
+    )
+    dnums = jax.lax.ScatterDimensionNumbers(
+        update_window_dims=(1, 2, 3, 4),
+        inserted_window_dims=(1,),
+        scatter_dims_to_operand_dims=(1, 2),
+    )
+    return jax.lax.scatter(
+        cache,
+        starts,
+        updates,
+        dimension_numbers=dnums,
+        indices_are_sorted=True,
+        unique_indices=True,
+        mode=jax.lax.GatherScatterMode.FILL_OR_DROP,
+    )
+
+
 def _decode_window_fn(
     model_cfg: ModelConfig,
     use_masking: bool,
     n_steps: int,
     params: dict,
-    k_cache: jnp.ndarray,
+    k_cache: jnp.ndarray,  # [L, S, T_alloc, K, Dh]; capacity = T_alloc - n_steps
     v_cache: jnp.ndarray,
     tokens: jnp.ndarray,  # [S] — host view of last tokens (stale for pending)
     active: jnp.ndarray,  # [S] bool
@@ -495,37 +542,57 @@ def _decode_window_fn(
     temperature: jnp.ndarray,
     top_p: jnp.ndarray,
     top_k: jnp.ndarray,
+    attn_impl: str = "xla",
 ):
     """``n_steps`` decode steps fully on device (lax.scan): the sampled token
-    feeds the next step without a host round trip. Returns a single packed
-    int32 [2, N+1, S] output (ONE device->host fetch per window) plus the
-    advanced engine state."""
+    feeds the next step without a host round trip. New K/V accumulate in a
+    [L, S, W, K, Dh] staging band (uniform-index dynamic_update_slice per
+    step) and merge into the big cache ONCE at window end; attention reads
+    frozen cache + band (ops/attention.decode_attention_staged). Returns a
+    single packed int32 [2, N+1, S] output (ONE device->host fetch per
+    window) plus the advanced engine state."""
     S = tokens.shape[0]
-    T = k_cache.shape[2]
-    idx = jnp.arange(S)
+    T_alloc = k_cache.shape[2]
+    capacity = T_alloc - n_steps
+    L = k_cache.shape[0]
+    K, Dh = k_cache.shape[3], k_cache.shape[4]
     tokens = jnp.where(pending_mask, first_info[:, 0], tokens)
+    base_lens = cache_lens  # frozen for the whole window
+    # staged layout [L, W, S, K, Dh]: the per-step write at a uniform w is a
+    # near-contiguous dynamic_update_slice (L chunks of S*K*Dh), not a scatter
+    k_staged = jnp.zeros((L, n_steps, S, K, Dh), k_cache.dtype)
+    v_staged = jnp.zeros((L, n_steps, S, K, Dh), v_cache.dtype)
 
-    def body(carry, _):
-        tokens, cache_lens, k_cache, v_cache, rng = carry
+    def body(carry, step):
+        tokens, k_staged, v_staged, rng = carry
         rng, sub = jax.random.split(rng)
-        logits, k_new, v_new = decode_step(
-            params, model_cfg, tokens, cache_lens, k_cache, v_cache, cache_lens
+        positions = jnp.minimum(base_lens + step, T_alloc - 1)
+        logits, k_new, v_new = decode_step_staged(
+            params, model_cfg, tokens, positions, k_cache, v_cache,
+            base_lens, k_staged, v_staged, step, attn_impl=attn_impl,
         )
-        write_pos = jnp.clip(cache_lens, 0, T - 1)
-        k_cache = k_cache.at[:, idx, write_pos].set(k_new.astype(k_cache.dtype))
-        v_cache = v_cache.at[:, idx, write_pos].set(v_new.astype(v_cache.dtype))
+        k_staged = jax.lax.dynamic_update_slice(
+            k_staged, k_new.astype(k_staged.dtype)[:, None], (0, step, 0, 0, 0)
+        )
+        v_staged = jax.lax.dynamic_update_slice(
+            v_staged, v_new.astype(v_staged.dtype)[:, None], (0, step, 0, 0, 0)
+        )
         if use_masking:
             new_tokens, logprobs = sample_masked(logits, sub, temperature, top_p, top_k)
         else:
             new_tokens, logprobs = sample_fast(logits, sub, temperature)
         new_tokens = jnp.where(active, new_tokens, tokens)
-        cache_lens = jnp.where(active, jnp.minimum(cache_lens + 1, T - 1), cache_lens)
-        return (new_tokens, cache_lens, k_cache, v_cache, rng), (new_tokens, logprobs)
+        return (new_tokens, k_staged, v_staged, rng), (new_tokens, logprobs)
 
-    (tokens, cache_lens, k_cache, v_cache, rng), (win_tokens, win_logprobs) = (
-        jax.lax.scan(
-            body, (tokens, cache_lens, k_cache, v_cache, rng), None, length=n_steps
-        )
+    (tokens, k_staged, v_staged, rng), (win_tokens, win_logprobs) = jax.lax.scan(
+        body,
+        (tokens, k_staged, v_staged, rng),
+        jnp.arange(n_steps, dtype=jnp.int32),
+    )
+    k_cache = _merge_staged(k_cache, k_staged, base_lens)
+    v_cache = _merge_staged(v_cache, v_staged, base_lens)
+    cache_lens = jnp.where(
+        active, jnp.minimum(base_lens + n_steps, capacity - 1), base_lens
     )
     # pack (first_info row, then the window) into one int32 array
     lp_bits = jax.lax.bitcast_convert_type(win_logprobs.astype(jnp.float32), jnp.int32)

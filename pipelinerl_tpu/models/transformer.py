@@ -254,6 +254,51 @@ def decode_step(
     return logits, k_new, v_new
 
 
+def decode_step_staged(
+    params: dict,
+    cfg: ModelConfig,
+    tokens: jnp.ndarray,  # [S]
+    positions: jnp.ndarray,  # [S] — base_lens + step
+    k_cache: jnp.ndarray,  # [L, S, T, K, Dh] — frozen during the window
+    v_cache: jnp.ndarray,
+    base_lens: jnp.ndarray,  # [S] — cache lengths at window start
+    k_staged: jnp.ndarray,  # [L, W, S, K, Dh] — this window's earlier tokens
+    v_staged: jnp.ndarray,
+    step: jnp.ndarray,  # scalar — index within the window
+    attn_impl: str = "xla",  # "xla" | "ragged" (Pallas kernel for the cache part)
+):
+    """One decode step attending over frozen cache + staged band (see
+    ops/attention.decode_attention_staged). Returns (fp32 logits [S, V],
+    k_new [L, S, K, Dh], v_new [L, S, K, Dh]); the caller stages the new
+    K/V and merges the band into the cache once per window."""
+    from ..ops.attention import decode_attention_staged
+
+    x = jnp.take(params["embed"], tokens, axis=0)  # [S, D]
+    cos, sin = rope_cos_sin(positions, cfg.head_dim_, cfg.rope_theta)  # [S, Dh]
+
+    if attn_impl == "ragged":
+        from ..ops.decode_attention import decode_attention_staged_ragged as _attn
+    else:
+        _attn = decode_attention_staged
+
+    def layer_fn(h, inputs):
+        layer, kc, vc, ks, vs = inputs
+        normed = rms_norm(h, layer["ln1"], cfg.rms_norm_eps)
+        q, k, v = _project_qkv(layer, cfg, normed)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        attn = _attn(q, k, v, kc, vc, base_lens, ks, vs, step)
+        h = h + attn.reshape(h.shape[0], cfg.q_dim) @ layer["wo"]
+        h = h + _mlp(layer, rms_norm(h, layer["ln2"], cfg.rms_norm_eps))
+        return h, (k, v)
+
+    x, (k_new, v_new) = jax.lax.scan(
+        layer_fn, x, (params["layers"], k_cache, v_cache, k_staged, v_staged)
+    )
+    logits = unembed(params, cfg, x)
+    return logits, k_new, v_new
+
+
 def param_count(params: dict) -> int:
     return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
 

@@ -68,6 +68,57 @@ def mha_packed(
     return out.astype(q.dtype)
 
 
+def decode_attention_staged(
+    q: jnp.ndarray,  # [S, H, Dh] — one new query token per slot
+    k_new: jnp.ndarray,  # [S, K, Dh] — the new token's key
+    v_new: jnp.ndarray,  # [S, K, Dh]
+    k_cache: jnp.ndarray,  # [S, T, K, Dh] — FROZEN during the decode window
+    v_cache: jnp.ndarray,  # [S, T, K, Dh]
+    base_lens: jnp.ndarray,  # [S] — cached tokens at window start (frozen)
+    k_staged: jnp.ndarray,  # [W, S, K, Dh] — this window's earlier tokens
+    v_staged: jnp.ndarray,  # [W, S, K, Dh]
+    step: jnp.ndarray,  # scalar int — index within the window; rows < step valid
+    scale: float | None = None,
+) -> jnp.ndarray:
+    """Decode attention over frozen cache + in-window staged band + self.
+
+    The decode window never scatters into the big cache: new K/V go to a
+    small [S, W, K, Dh] staging buffer at a *uniform* step index (a
+    contiguous dynamic_update_slice, not a scatter), and the engine merges
+    the band into the cache once per window. This removed a 1.37 ms/step
+    XLA scatter on v5e (see scripts/probe_window.py).
+    Returns [S, H, Dh]."""
+    S, H, Dh = q.shape
+    T, K = k_cache.shape[1], k_cache.shape[2]
+    W = k_staged.shape[0]
+    groups = H // K
+    scale = scale if scale is not None else Dh**-0.5
+
+    qh = q.reshape(S, K, groups, Dh).astype(jnp.float32) * scale
+    scores_c = jnp.einsum("skgd,stkd->skgt", qh, k_cache.astype(jnp.float32))
+    valid_c = jnp.arange(T)[None, :] < base_lens[:, None]  # [S, T]
+    scores_c = jnp.where(valid_c[:, None, None, :], scores_c, _NEG_INF)
+
+    scores_w = jnp.einsum("skgd,wskd->skgw", qh, k_staged.astype(jnp.float32))
+    valid_w = (jnp.arange(W) < step)[None, None, None, :]  # same for every slot
+    scores_w = jnp.where(valid_w, scores_w, _NEG_INF)
+
+    score_self = jnp.einsum("skgd,skd->skg", qh, k_new.astype(jnp.float32))
+
+    all_scores = jnp.concatenate(
+        [scores_c, scores_w, score_self[..., None]], axis=-1
+    )
+    probs = jax.nn.softmax(all_scores, axis=-1)
+    out = (
+        jnp.einsum("skgt,stkd->skgd", probs[..., :T], v_cache.astype(jnp.float32))
+        + jnp.einsum(
+            "skgw,wskd->skgd", probs[..., T : T + W], v_staged.astype(jnp.float32)
+        )
+        + probs[..., T + W :] * v_new[:, :, None, :].astype(jnp.float32)
+    )
+    return out.reshape(S, H, Dh).astype(q.dtype)
+
+
 def decode_attention(
     q: jnp.ndarray,  # [S, H, Dh] — one new query token per slot
     k_new: jnp.ndarray,  # [S, K, Dh] — the new token's key

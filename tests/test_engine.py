@@ -206,3 +206,55 @@ def test_tp_sharded_engine_matches_unsharded(tiny_model):
     tp_engine.update_params(params, version=5)
     tp_engine.step()
     assert tp_engine.version == 5
+
+
+def test_staged_attention_matches_incremental():
+    """decode_attention_staged over frozen cache + band must equal the old
+    per-step decode_attention with an up-to-date cache."""
+    from pipelinerl_tpu.ops.attention import decode_attention, decode_attention_staged
+
+    rng = np.random.default_rng(0)
+    S, T, K, G, Dh, W = 3, 16, 2, 3, 8, 4
+    H = K * G
+    q = jnp.asarray(rng.normal(size=(S, H, Dh)), jnp.float32)
+    k_new = jnp.asarray(rng.normal(size=(S, K, Dh)), jnp.float32)
+    v_new = jnp.asarray(rng.normal(size=(S, K, Dh)), jnp.float32)
+    k_cache = jnp.asarray(rng.normal(size=(S, T, K, Dh)), jnp.float32)
+    v_cache = jnp.asarray(rng.normal(size=(S, T, K, Dh)), jnp.float32)
+    base_lens = jnp.asarray([5, 0, 9], jnp.int32)
+    step = 2  # band rows 0..1 valid
+
+    # build staged band ([W, S, K, Dh]) and the equivalent "written" cache
+    k_staged = jnp.asarray(rng.normal(size=(W, S, K, Dh)), jnp.float32)
+    v_staged = jnp.asarray(rng.normal(size=(W, S, K, Dh)), jnp.float32)
+    k_upd, v_upd = k_cache, v_cache
+    for s in range(S):
+        for w in range(step):
+            k_upd = k_upd.at[s, int(base_lens[s]) + w].set(k_staged[w, s])
+            v_upd = v_upd.at[s, int(base_lens[s]) + w].set(v_staged[w, s])
+
+    out_staged = decode_attention_staged(
+        q, k_new, v_new, k_cache, v_cache, base_lens,
+        k_staged, v_staged, jnp.asarray(step),
+    )
+    out_ref = decode_attention(
+        q, k_new, v_new, k_upd, v_upd, base_lens + step
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_staged), np.asarray(out_ref), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_merge_staged_scatter():
+    from pipelinerl_tpu.inference.engine import _merge_staged
+
+    L, S, T_alloc, K, Dh, W = 2, 3, 12, 2, 4, 4
+    cache = jnp.zeros((L, S, T_alloc, K, Dh), jnp.float32)
+    staged = jnp.ones((L, W, S, K, Dh), jnp.float32) * jnp.arange(
+        1, S + 1, dtype=jnp.float32
+    )[None, None, :, None, None]
+    base = jnp.asarray([0, 3, 8], jnp.int32)
+    merged = np.asarray(_merge_staged(cache, staged, base))
+    for s, b in enumerate([0, 3, 8]):
+        assert (merged[:, s, b : b + W] == s + 1).all()
+        assert (np.delete(merged[:, s], range(b, b + W), axis=1) == 0).all()
