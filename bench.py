@@ -49,9 +49,12 @@ def main() -> None:
     )
     params = init_params(jax.random.key(0), model_cfg)
 
-    SLOTS = 64
+    import os
+    SLOTS = int(os.environ.get("BENCH_SLOTS", 64))
     PROMPT_LEN = 128
     MAX_TOKENS = 128
+    WINDOW = int(os.environ.get("BENCH_WINDOW", 32))
+    DEPTH = int(os.environ.get("BENCH_DEPTH", 2))
     engine = InferenceEngine(
         params,
         model_cfg,
@@ -62,22 +65,23 @@ def main() -> None:
             cache_dtype=jnp.bfloat16,
             # over the tunneled chip each host sync costs ~1 RTT; long
             # windows + depth-2 pipelining amortize it
-            decode_window=32,
-            window_pipeline_depth=2,
+            decode_window=WINDOW,
+            window_pipeline_depth=DEPTH,
         ),
         eos_token_id=-1,  # random weights: never stop early, measure full length
     )
     rng = np.random.default_rng(0)
 
-    def submit_wave(n):
+    def submit_wave(n, jitter=False):
         futures = []
         for _ in range(n):
             prompt = rng.integers(1, 100_000, PROMPT_LEN - 1).tolist()
+            max_tok = int(rng.integers(MAX_TOKENS // 2, MAX_TOKENS + 1)) if jitter else MAX_TOKENS
             futures.append(
                 engine.submit(
                     GenRequest(
                         prompt_ids=prompt,
-                        params=SamplingParams(temperature=1.0, max_tokens=MAX_TOKENS),
+                        params=SamplingParams(temperature=1.0, max_tokens=max_tok),
                     )
                 )
             )
@@ -87,16 +91,19 @@ def main() -> None:
         while not all(f.done() for f in futures):
             engine.step()
 
-    # warmup: compile prefill + decode
+    # warmup: compile prefill (batches 8/4/2/1) + decode, then stagger slots
     t0 = time.monotonic()
-    drain(submit_wave(2))
+    drain(submit_wave(8) + submit_wave(4) + submit_wave(2) + submit_wave(1))
     log(f"warmup (compile) took {time.monotonic() - t0:.1f}s")
 
-    # timed: full occupancy
+    # timed steady-state stream: jittered lengths stagger finishes, so the
+    # run exercises continuous batching (admissions interleaving decode
+    # windows) rather than one synchronized wave — the actor-side workload
+    # shape of PipelineRL
     gen_before = engine.total_generated_tokens
     steps_before = engine.decode_steps
     t0 = time.monotonic()
-    drain(submit_wave(SLOTS))
+    drain(submit_wave(3 * SLOTS, jitter=True))
     elapsed = time.monotonic() - t0
     gen = engine.total_generated_tokens - gen_before
     steps = engine.decode_steps - steps_before

@@ -28,6 +28,12 @@ def main(argv: list[str] | None = None) -> None:
     exp_path = stage_setup(cfg, "device")
     port = int(cfg.select("me.port", 8080))
 
+    # multi-host: join the jax.distributed world before touching devices
+    # (env-driven — inert on single host; parallel/multihost.py)
+    from ..parallel.multihost import maybe_initialize_distributed
+
+    maybe_initialize_distributed(cfg)
+
     params, model_cfg, tokenizer = build_model(cfg)
     engine_params = jax.tree.map(jnp.copy, params)
     engine = build_engine(cfg, engine_params, model_cfg, tokenizer)

@@ -63,6 +63,9 @@ class EngineConfig:
     attn_impl: str = "xla"
     # decode-window cache attention: "xla" | "ragged" (Pallas kernel)
     decode_attn_impl: str = "xla"
+    # same-bucket admissions prefill together (batch sizes 8/4/2/1 up to
+    # this cap); batch-1 prefill is weight-read-bound, so this matters
+    max_prefill_batch: int = 8
     # tensor parallelism: shard params (head/ffn dims) and KV caches (kv-head
     # dim) over a tp-axis mesh; GSPMD inserts the collectives in the existing
     # jitted programs (the reference's vLLM tensor-parallel-size,
@@ -310,27 +313,58 @@ class InferenceEngine:
         return sub
 
     def _admit(self) -> bool:
-        admitted = False
-        while True:
-            free = next((i for i, s in enumerate(self._slots) if s is None), None)
-            if free is None:
-                return admitted
-            with self._queue_lock:
-                if not self._queue:
-                    return admitted
-                request, future = self._queue.popleft()
-            self._prefill_into_slot(free, request, future)
-            admitted = True
+        """Admit queued requests into free slots, prefilling same-bucket
+        requests TOGETHER (batch sizes 8/4/2/1): a batch-1 prefill is
+        weight-read-bound (~1 ms for 0.5B on v5e regardless of length), so
+        admission waves were costing as much as decoding itself. The
+        reference gets this from vLLM's mixed continuous batching
+        (SURVEY.md §2.4)."""
+        free_slots = [i for i, s in enumerate(self._slots) if s is None]
+        if not free_slots:
+            return False
+        with self._queue_lock:
+            take = min(len(free_slots), len(self._queue))
+            pairs = [self._queue.popleft() for _ in range(take)]
+        if not pairs:
+            return False
+        # group by prefill bucket
+        by_bucket: dict[int, list] = {}
+        for (request, future), slot in zip(pairs, free_slots):
+            n = len(request.prompt_ids)
+            bucket = next(b for b in self.buckets if b >= n)
+            by_bucket.setdefault(bucket, []).append((slot, request, future))
+        for bucket, group in by_bucket.items():
+            pos = 0
+            while pos < len(group):
+                batch = 1
+                for b in (8, 4, 2, 1):
+                    if b <= self.cfg.max_prefill_batch and pos + b <= len(group):
+                        batch = b
+                        break
+                self._prefill_batch(bucket, group[pos : pos + batch])
+                pos += batch
+        return True
 
-    def _prefill_into_slot(self, slot: int, request: GenRequest, future: Future) -> None:
-        """Dispatch the prefill WITHOUT any host sync — the first sampled
-        token stays on device and is materialized with the next window."""
-        prompt = np.asarray(request.prompt_ids, np.int32)
-        n = len(prompt)
-        bucket = next(b for b in self.buckets if b >= n)
-        padded = np.zeros((1, bucket), np.int32)
-        padded[0, :n] = prompt
-        p = request.params
+    def _prefill_batch(
+        self, bucket: int, group: list[tuple[int, GenRequest, Future]]
+    ) -> None:
+        """Dispatch one padded-batch prefill WITHOUT any host sync — each
+        request's first sampled token stays on device and is materialized
+        with the next decode window."""
+        B = len(group)
+        padded = np.zeros((B, bucket), np.int32)
+        lengths = np.zeros(B, np.int32)
+        slots = np.zeros(B, np.int32)
+        temps = np.ones(B, np.float32)
+        top_p = np.ones(B, np.float32)
+        top_k = np.zeros(B, np.int32)
+        for b, (slot, request, _) in enumerate(group):
+            n = len(request.prompt_ids)
+            padded[b, :n] = request.prompt_ids
+            lengths[b] = n
+            slots[b] = slot
+            p = request.params
+            temps[b], top_p[b], top_k[b] = p.temperature, p.top_p, p.top_k
         (
             self.k_cache,
             self.v_cache,
@@ -344,24 +378,26 @@ class InferenceEngine:
             self.cache_lens,
             self.first_info,
             jnp.asarray(padded),
-            jnp.asarray(n, jnp.int32),
-            jnp.asarray(slot, jnp.int32),
+            jnp.asarray(lengths),
+            jnp.asarray(slots),
             self._rng_device,
-            jnp.asarray(p.temperature, jnp.float32),
-            jnp.asarray(p.top_p, jnp.float32),
-            jnp.asarray(p.top_k, jnp.int32),
+            jnp.asarray(temps),
+            jnp.asarray(top_p),
+            jnp.asarray(top_k),
         )
-        self.total_prefill_tokens += n
-        max_new = min(p.max_tokens, self.cfg.max_len - n)
-        self._gen_counter += 1
-        self._slots[slot] = _Slot(
-            request=request,
-            future=future,
-            version_start=self.version,
-            max_new_tokens=max_new,
-            pending_first=True,
-            gen=self._gen_counter,
-        )
+        for slot, request, future in group:
+            n = len(request.prompt_ids)
+            self.total_prefill_tokens += n
+            max_new = min(request.params.max_tokens, self.cfg.max_len - n)
+            self._gen_counter += 1
+            self._slots[slot] = _Slot(
+                request=request,
+                future=future,
+                version_start=self.version,
+                max_new_tokens=max_new,
+                pending_first=True,
+                gen=self._gen_counter,
+            )
 
     def _stop_tokens(self, p: SamplingParams) -> tuple[int, ...]:
         return (self.eos_token_id,) + tuple(p.stop_token_ids)
@@ -376,17 +412,22 @@ class InferenceEngine:
         elif len(state.token_ids) >= state.max_new_tokens:
             finish = "length"
         if finish is not None:
-            self._slots[slot] = None
-            state.future.set_result(
-                GenResult(
-                    token_ids=state.token_ids,
-                    logprobs=state.logprobs,
-                    finish_reason=finish,
-                    model_version_start=state.version_start,
-                    model_version_end=self.version,
-                    prompt_tokens=len(state.request.prompt_ids),
-                )
+            self._finish_slot(slot, finish)
+
+    def _finish_slot(self, slot: int, finish: str) -> None:
+        state = self._slots[slot]
+        assert state is not None
+        self._slots[slot] = None
+        state.future.set_result(
+            GenResult(
+                token_ids=state.token_ids,
+                logprobs=state.logprobs,
+                finish_reason=finish,
+                model_version_start=state.version_start,
+                model_version_end=self.version,
+                prompt_tokens=len(state.request.prompt_ids),
             )
+        )
 
     def _decode(self) -> bool:
         """Dispatch one decode window and sync/process the oldest once the
@@ -471,18 +512,35 @@ class InferenceEngine:
             s.logprobs.append(float(first_logprobs[i]))
             self.total_generated_tokens += 1
             self._maybe_finish(i, token)
+        # vectorized per-slot consume: find the cut (first stop token or
+        # length budget), then bulk-extend — the naive token-by-token Python
+        # loop cost ~1.7 ms/step of host time at batch 64, dwarfing the
+        # 3 ms/step device time
         for i, s in enumerate(self._slots):
             if s is None or not w.active[i] or s.gen != w.gens[i]:
                 continue
-            for t in range(n_steps):
-                token = int(win_tokens[t, i])
-                s.last_token = token
-                s.token_ids.append(token)
-                s.logprobs.append(float(win_logprobs[t, i]))
-                self.total_generated_tokens += 1
-                self._maybe_finish(i, token)
-                if self._slots[i] is None:
-                    break  # finished mid-window; discard speculative tail
+            col = win_tokens[:, i]
+            stops = self._stop_tokens(s.request.params)
+            stop_mask = (
+                (col == stops[0]) if len(stops) == 1 else np.isin(col, stops)
+            )
+            budget = s.max_new_tokens - len(s.token_ids)
+            stop_hits = np.flatnonzero(stop_mask)
+            finish = None
+            cut = n_steps
+            if stop_hits.size and int(stop_hits[0]) + 1 <= budget:
+                cut = int(stop_hits[0]) + 1  # stop token included
+                finish = "stop"
+            elif budget <= n_steps:
+                cut = budget
+                finish = "length"
+            if cut > 0:
+                s.token_ids.extend(col[:cut].tolist())
+                s.logprobs.extend(win_logprobs[:cut, i].tolist())
+                s.last_token = int(col[cut - 1])
+                self.total_generated_tokens += cut
+            if finish is not None:
+                self._finish_slot(i, finish)
 
 
 # ---------------------------------------------------------------------------
@@ -492,7 +550,7 @@ class InferenceEngine:
 
 def _merge_staged(
     cache: jnp.ndarray,  # [L, S, T_alloc, K, Dh]
-    staged: jnp.ndarray,  # [L, S, W, K, Dh]
+    staged: jnp.ndarray,  # [L, W, S, K, Dh]
     base_lens: jnp.ndarray,  # [S]
 ) -> jnp.ndarray:
     """Write each slot's staged band at its base length — ONE windowed
@@ -610,38 +668,41 @@ def _prefill_fn(
     v_cache: jnp.ndarray,
     cache_lens: jnp.ndarray,  # [S]
     first_info: jnp.ndarray,  # [S, 2] int32
-    input_ids: jnp.ndarray,  # [1, P] (padded bucket)
-    length: jnp.ndarray,  # scalar — true prompt length
-    slot: jnp.ndarray,  # scalar
+    input_ids: jnp.ndarray,  # [B, P] (padded bucket, batched admissions)
+    lengths: jnp.ndarray,  # [B] — true prompt lengths
+    slots: jnp.ndarray,  # [B]
     rng: jax.Array,
-    temperature: jnp.ndarray,  # scalar
-    top_p: jnp.ndarray,
-    top_k: jnp.ndarray,
+    temperature: jnp.ndarray,  # [B]
+    top_p: jnp.ndarray,  # [B]
+    top_k: jnp.ndarray,  # [B]
 ):
-    P = input_ids.shape[1]
-    positions = jnp.arange(P)[None, :]
-    segments = jnp.zeros((1, P), jnp.int32)
+    B, P = input_ids.shape
+    positions = jnp.broadcast_to(jnp.arange(P)[None, :], (B, P))
+    segments = jnp.zeros((B, P), jnp.int32)
     logits, (k_new, v_new) = forward(
         params, model_cfg, input_ids, positions, segments, return_kv=True,
         attn_impl=attn_impl,
     )
-    # k_new: [L, 1, P, K, Dh] → write into the slot's cache prefix
-    k_block = k_new.astype(k_cache.dtype).transpose(0, 1, 2, 3, 4)
+    # k_new: [L, B, P, K, Dh] → write each row into its slot's cache prefix
+    k_block = k_new.astype(k_cache.dtype)
     v_block = v_new.astype(v_cache.dtype)
-    k_cache = jax.lax.dynamic_update_slice(k_cache, k_block, (0, slot, 0, 0, 0))
-    v_cache = jax.lax.dynamic_update_slice(v_cache, v_block, (0, slot, 0, 0, 0))
-    cache_lens = cache_lens.at[slot].set(length)
+    for b in range(B):  # B is static (8/4/2/1); unrolled contiguous writes
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, k_block[:, b : b + 1], (0, slots[b], 0, 0, 0)
+        )
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, v_block[:, b : b + 1], (0, slots[b], 0, 0, 0)
+        )
+    cache_lens = cache_lens.at[slots].set(lengths)
 
-    last_logits = jax.lax.dynamic_slice(
-        logits, (0, length - 1, 0), (1, 1, logits.shape[-1])
-    )[0]
+    last_logits = jnp.take_along_axis(
+        logits, (lengths - 1)[:, None, None], axis=1
+    )[:, 0]  # [B, V]
     rng, sub = jax.random.split(rng)
-    token, logprob = sample_masked(
-        last_logits, sub, temperature[None], top_p[None], top_k[None]
-    )
-    lp_bits = jax.lax.bitcast_convert_type(logprob[0].astype(jnp.float32), jnp.int32)
-    first_info = first_info.at[slot].set(
-        jnp.stack([token[0].astype(jnp.int32), lp_bits])
+    tokens, logprobs = sample_masked(last_logits, sub, temperature, top_p, top_k)
+    lp_bits = jax.lax.bitcast_convert_type(logprobs.astype(jnp.float32), jnp.int32)
+    first_info = first_info.at[slots].set(
+        jnp.stack([tokens.astype(jnp.int32), lp_bits], axis=-1)
     )
     return k_cache, v_cache, cache_lens, first_info, rng
 

@@ -143,6 +143,15 @@ def validate_config(cfg: Config) -> None:
     policy = cfg.select("finetune.rl.policy_loss", "reinforce")
     if policy not in ("reinforce", "ppo", "gspo"):
         problems.append(f"unknown finetune.rl.policy_loss {policy!r}")
+    # unknown rl keys would be silently dropped by the RLLossConfig filter —
+    # fail loudly instead (a mis-nested entropy_bonus once cost a debug hunt)
+    rl_node = cfg.select("finetune.rl")
+    if rl_node:
+        from .train.rl_loss import RLLossConfig
+
+        unknown = [k for k, _ in rl_node.items() if k not in RLLossConfig.__dataclass_fields__]
+        if unknown:
+            problems.append(f"unknown finetune.rl key(s): {unknown}")
     mode = str(cfg.select("debug.mode", "") or "")
     if mode and mode != "open_loop":
         stages = _debug_stages(cfg)

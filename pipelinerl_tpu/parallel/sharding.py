@@ -76,6 +76,16 @@ def batch_sharding(mesh: Mesh) -> dict:
 
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
     shardings = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        # multi-host: every process holds ITS OWN dp-partition of the batch
+        # (its training_data stream partition, reference preprocess.py:356-367)
+        # and contributes it as the local shards of the global array
+        return {
+            name: jax.make_array_from_process_local_data(
+                shardings[name], jnp.asarray(value)
+            )
+            for name, value in batch.items()
+        }
     return {
         name: jax.device_put(jnp.asarray(value), shardings[name])
         for name, value in batch.items()

@@ -59,6 +59,9 @@ class RLLossConfig:
     value_loss_coef: float = 0.0
     # static upper bound on sequences per packed row (GSPO segment sums)
     max_segments: int = 512
+    # consumed by the preprocessor, not the loss (reference RLConfig keeps it
+    # in the same config block, rl/__init__.py:43-105)
+    filter_zero_advantage_groups: bool = False
 
     @property
     def use_entropy_loss(self) -> bool:

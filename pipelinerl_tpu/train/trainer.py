@@ -176,7 +176,19 @@ class TrainerLoop:
 
                 from ..parallel import make_mesh, shard_batch, shard_params
 
-                self.mesh = make_mesh(n_devices=dp * cp * tp, tp=tp, cp=cp)
+                if jax.process_count() > 1:
+                    # multi-host: dp spans hosts over DCN, cp×tp stays on
+                    # each host's ICI-connected chips (parallel/multihost.py)
+                    from ..parallel.multihost import make_multihost_mesh
+
+                    self.mesh = make_multihost_mesh(tp=tp, cp=cp)
+                    if dp * cp * tp != jax.device_count():
+                        raise ValueError(
+                            f"parallel dp*cp*tp={dp * cp * tp} must equal the "
+                            f"global device count {jax.device_count()} on multi-host"
+                        )
+                else:
+                    self.mesh = make_mesh(n_devices=dp * cp * tp, tp=tp, cp=cp)
                 self.dp = dp
                 if self.lora_cfg.enabled:
                     # adapters are tiny: replicate; shard the frozen base

@@ -38,7 +38,7 @@ def test_bandit_learns(tmp_path):
         env=env,
         capture_output=True,
         text=True,
-        timeout=420,
+        timeout=600,
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
     stats = json.loads(proc.stdout.strip().splitlines()[-1])
