@@ -20,6 +20,7 @@ DEFAULT_DOMAIN_ROLLOUTS: dict[str, str] = {
     "ifeval": "pipelinerl_tpu.domains.ifeval.rollouts.generate_ifeval_rollout",
     "logic": "pipelinerl_tpu.domains.logic.rollouts.generate_logic_rollout",
     "deep_research": "pipelinerl_tpu.domains.deep_research.rollouts.generate_research_rollout",
+    "miniwob": "pipelinerl_tpu.domains.miniwob.rollouts.generate_miniwob_rollout",
 }
 
 _RUNTIME_REGISTRY: dict[str, str] = {}
