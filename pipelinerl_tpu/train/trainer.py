@@ -357,9 +357,12 @@ class TrainerLoop:
         target_steps = min(
             self.max_train_steps, max_steps if max_steps is not None else self.max_train_steps
         )
+        from ..utils.memory_debug import create_memory_debugger, create_step_profiler
         from ..utils.metrics_logger import MetricsLogger
 
         mlog = MetricsLogger(self.exp_path, f"trainer_{self.rank}")
+        memdbg = create_memory_debugger(self.cfg, self.exp_path, self.rank)
+        profiler = create_step_profiler(self.cfg, self.exp_path)
         reader = StreamReader(self.input_spec, poll_interval=0.01)
         writer = StreamWriter(
             SingleStreamSpec(exp_path=self.exp_path, topic="weight_update_request")
@@ -390,13 +393,17 @@ class TrainerLoop:
                     and self.metrics.samples - batch.model_version > int(self.max_lag)
                 ):
                     self.metrics.samples_too_old_to_train += batch.num_sequences
+                memdbg.snapshot("before_train_pass", step=self.metrics.completed_steps)
                 pass_metrics = self.train_pass(batch)
+                memdbg.snapshot("after_train_pass", step=self.metrics.completed_steps)
                 for key, value in pass_metrics.items():
                     step_metric_sums[key] = step_metric_sums.get(key, 0.0) + value
                 samples_this_step += batch.num_sequences
                 self.publish(writer, SamplesProcessed(samples=self.metrics.samples))
                 if samples_this_step >= self.samples_per_step:
                     self.optimizer_step()
+                    memdbg.snapshot("after_optimizer_step", step=self.metrics.completed_steps)
+                    profiler.on_step(self.metrics.completed_steps)
                     # ESS from importance-ratio sums (reference
                     # finetune_loop.py:908-922) + throughput counters
                     ratio_sum = step_metric_sums.get("ratio_new_old_sum", 0.0)
@@ -431,11 +438,13 @@ class TrainerLoop:
                     step_metric_sums = {}
                     samples_this_step = 0
                     self.maybe_push_weights(writer)
+                    memdbg.snapshot("after_weight_push", step=self.metrics.completed_steps)
                     if (
                         self.save_checkpoint_steps
                         and self.metrics.completed_steps % self.save_checkpoint_steps == 0
                     ):
                         self.save_checkpoint()
+                        memdbg.snapshot("after_save", step=self.metrics.completed_steps)
             elapsed = time.monotonic() - t_start
             logger.info(
                 "Trainer done: %d steps, %d samples, %d tokens in %.1fs (%.0f tok/s)",
@@ -450,6 +459,8 @@ class TrainerLoop:
                 self.save_checkpoint()
             self.publish(writer, TrainingDone())
         finally:
+            profiler.stop()
+            memdbg.close()
             reader.stop()
             writer.close()
             mlog.close()
