@@ -46,6 +46,13 @@ class ModelConfig:
     dtype: Any = jnp.bfloat16
     # name of the HF architecture this config was imported from (if any)
     hf_architecture: str | None = None
+    # multimodal rotary sections (t, h, w) over head_dim/2 channels — set for
+    # Qwen2.5-VL-family models; None means standard 1D rope
+    mrope_section: tuple[int, ...] | None = None
+    # VLM special tokens (image placeholder expansion / mrope indexing)
+    image_token_id: int | None = None
+    vision_start_token_id: int | None = None
+    vision_end_token_id: int | None = None
 
     @property
     def head_dim_(self) -> int:
@@ -122,6 +129,56 @@ def rope_cos_sin(
     return jnp.cos(emb), jnp.sin(emb)
 
 
+def mrope_cos_sin(
+    positions: jnp.ndarray,  # [3, ...] — (t, h, w) position rows
+    head_dim: int,
+    theta: float,
+    section: tuple[int, ...],
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Multimodal 3D rope (Qwen2.5-VL): rotary channels are partitioned into
+    (t, h, w) sections of ``section`` channels each (per cos/sin half); text
+    tokens carry equal rows so this reduces to standard rope. Returns
+    cos/sin [...  , head_dim] matching ``apply_rope``'s rotate-half layout."""
+    cos3, sin3 = rope_cos_sin(positions, head_dim, theta)  # [3, ..., Dh]
+    sel = np.zeros((3, head_dim), np.float32)
+    offset = 0
+    for i, width in enumerate(list(section) * 2):
+        sel[i % 3, offset : offset + width] = 1.0
+        offset += width
+    assert offset == head_dim, f"mrope sections {section} do not fill head_dim {head_dim}"
+    sel_arr = jnp.asarray(sel)
+    shape = (3,) + (1,) * (cos3.ndim - 2) + (head_dim,)
+    cos = jnp.sum(cos3 * sel_arr.reshape(shape), axis=0)
+    sin = jnp.sum(sin3 * sel_arr.reshape(shape), axis=0)
+    return cos, sin
+
+
+def positional_cos_sin(
+    cfg: "ModelConfig", position_ids: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Dispatch standard vs multimodal rope on the position-id rank: a
+    leading axis of size 3 carries (t, h, w) mrope rows."""
+    if cfg.mrope_section is not None and position_ids.ndim >= 2 and position_ids.shape[0] == 3:
+        return mrope_cos_sin(position_ids, cfg.head_dim_, cfg.rope_theta, cfg.mrope_section)
+    return rope_cos_sin(position_ids, cfg.head_dim_, cfg.rope_theta)
+
+
+def splice_image_embeds(
+    x: jnp.ndarray,  # [B, L, D] token embeddings
+    image_embeds: jnp.ndarray,  # [B, M, D] visual tokens (padded)
+    image_mask: jnp.ndarray,  # [B, L] bool — image placeholder positions
+) -> jnp.ndarray:
+    """Replace embeddings at placeholder positions with visual tokens, in
+    order (k-th masked position ← k-th visual token). Static-shape scatter:
+    a cumulative count over the mask indexes the visual rows."""
+    idx = jnp.cumsum(image_mask.astype(jnp.int32), axis=1) - 1  # [B, L]
+    idx = jnp.clip(idx, 0, image_embeds.shape[1] - 1)
+    gathered = jnp.take_along_axis(
+        image_embeds.astype(x.dtype), idx[..., None], axis=1
+    )
+    return jnp.where(image_mask[..., None], gathered, x)
+
+
 def apply_rope(
     x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray
 ) -> jnp.ndarray:
@@ -177,22 +234,31 @@ def forward(
     params: dict,
     cfg: ModelConfig,
     input_ids: jnp.ndarray,  # [B, L]
-    position_ids: jnp.ndarray,  # [B, L]
+    position_ids: jnp.ndarray,  # [B, L], or [3, B, L] for mrope (VLM)
     segment_ids: jnp.ndarray,  # [B, L]
     return_kv: bool = False,
     remat: bool = False,
     return_hidden: bool = False,
     attn_impl: str = "xla",  # "xla" | "flash" (Pallas splash kernel)
+    image_embeds: jnp.ndarray | None = None,  # [B, M, D] visual tokens
+    image_mask: jnp.ndarray | None = None,  # [B, L] bool placeholder positions
 ):
     """Full forward over a packed row. Returns fp32 logits [B, L, V]; with
     ``return_kv`` also the per-layer keys/values [L, B, T, K, Dh] (prefill)."""
     x = jnp.take(params["embed"], input_ids, axis=0)
-    cos, sin = rope_cos_sin(position_ids, cfg.head_dim_, cfg.rope_theta)
+    if image_embeds is not None:
+        x = splice_image_embeds(x, image_embeds, image_mask)
+    cos, sin = positional_cos_sin(cfg, position_ids)
 
     if attn_impl == "flash":
         from ..ops.flash_attention import mha_packed_flash as _attn
     else:
         _attn = mha_packed
+
+    # attention masking wants the [B, L] token-order positions; mrope's
+    # 3-row positions are only a rope concern
+    if position_ids.ndim == 3:
+        position_ids = position_ids[0]
 
     def layer_fn(h, layer):
         normed = rms_norm(h, layer["ln1"], cfg.rms_norm_eps)
