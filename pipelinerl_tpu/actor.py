@@ -49,6 +49,9 @@ class ActorStats:
     samples_written: int = 0
     output_tokens: int = 0
     metrics: dict[str, list[float]] = field(default_factory=dict)
+    # per-dataset and per-domain windowed aggregates (reference publishes
+    # per-dataset groups, actor.py:696-780)
+    grouped_metrics: dict[str, dict[str, list[float]]] = field(default_factory=dict)
     # per-problem success history → always/sometimes/never aggregation
     # (reference utils.py:382-401) — cumulative, not windowed
     problem_success: dict[str, list[float]] = field(default_factory=dict)
@@ -57,11 +60,20 @@ class ActorStats:
 
     def record_rollout(self, result: RolloutResult, problem_key: str | None = None) -> None:
         self.rollouts_completed += 1
+        group_keys = []
+        if getattr(result, "dataset_name", None):
+            group_keys.append(f"dataset/{result.dataset_name}")
+        if getattr(result, "domain", None):
+            group_keys.append(f"domain/{result.domain}")
         for name, value in result.metrics.model_dump().items():
             if isinstance(value, bool):
                 value = float(value)
             if isinstance(value, (int, float)):
                 self.metrics.setdefault(name, []).append(float(value))
+                for gk in group_keys:
+                    self.grouped_metrics.setdefault(gk, {}).setdefault(
+                        name, []
+                    ).append(float(value))
         if problem_key is not None:
             self.problem_success.setdefault(problem_key, []).append(
                 float(result.metrics.success)
@@ -80,6 +92,12 @@ class ActorStats:
             for stat, val in calculate_stats(values).items():
                 out[f"{name}_{stat}"] = val
         self.metrics = {}
+        for gk, metrics in self.grouped_metrics.items():
+            for name, values in metrics.items():
+                if values:
+                    out[f"{gk}/{name}_mean"] = sum(values) / len(values)
+                    out[f"{gk}/{name}_count"] = len(values)
+        self.grouped_metrics = {}
         from .utils import always_or_never_success_stats
 
         out.update(always_or_never_success_stats(self.problem_success))
@@ -125,10 +143,17 @@ class ActorLoop:
         )
 
     # -- lag budget (reference actor.py:510-534) ---------------------------
-    def _lag_budget(self) -> tuple[float, float]:
+    def _lag_budget(self, trained_version: int) -> float:
+        """ABSOLUTE submit budget (in groups) at a given trainer version
+        (≡ cumulative trained samples): submitted×attempts may run at most
+        max_lag + one update window ahead of training. Derived from the
+        version itself — not from counting observed version bumps — because
+        cross-process weight pushes arrive in bursts and an incremental
+        counter silently loses budget (round-2 stall in the 2-process
+        pipeline test)."""
         max_lag = self.cfg.finetune.get("max_lag")
         if not self.is_training or max_lag is None:
-            return math.inf, 0
+            return math.inf
         samples_per_step = int(self.cfg.finetune.samples_per_step)
         # weight_update_interval is in samples (weight version ≡ cumulative
         # samples, reference finetune_loop.py:948-949); round up to whole
@@ -137,9 +162,11 @@ class ActorLoop:
         total_update_size = (
             math.ceil(update_interval / samples_per_step) * samples_per_step
         )
-        groups_per_update = math.ceil(total_update_size / self.attempts)
-        lag_groups = math.ceil(max_lag / self.attempts)
-        return lag_groups + groups_per_update, groups_per_update
+        return (
+            math.ceil(int(max_lag) / self.attempts)
+            + math.ceil(total_update_size / self.attempts)
+            + int(trained_version) // self.attempts
+        )
 
     def _pick_llm(self) -> int | None:
         cap = int(self.cfg.actor.get("llm_max_rollouts", 64))
@@ -261,8 +288,6 @@ class ActorLoop:
     async def run(self, total_groups: int | None = None) -> ActorStats:
         """Schedule groups until ``total_groups`` complete (or problems are
         exhausted), respecting the lag budget."""
-        can_submit, groups_per_update = self._lag_budget()
-        last_version = self.trainer_state.propagated_weight_version or 0
         submitted = 0
         completed = 0
         domain_mix = self.cfg.get("domain_mix")
@@ -284,9 +309,7 @@ class ActorLoop:
             exhausted = False
             while not exhausted or in_flight:
                 version = self.trainer_state.propagated_weight_version or 0
-                if version > last_version:
-                    can_submit += groups_per_update
-                    last_version = version
+                can_submit = self._lag_budget(version)
                 while (
                     not exhausted
                     and not self.is_scheduling_paused
@@ -350,12 +373,22 @@ class ActorLoop:
             count += 1
 
     def _problem_stream(self, total_groups: int | None):
+        """Cycle problems until total_groups (or training_done breaks the run
+        loop); reshuffled every epoch like the reference actor's dataset
+        cycling (reference actor.py RolloutMaker loop). A small problem set
+        must not starve a long run after one pass."""
+        import random
+
+        rng = random.Random(self.cfg.get("seed", 0))
+        epoch_problems = list(self.problems)
         count = 0
         while True:
-            for problem in self.problems:
+            for problem in epoch_problems:
                 if total_groups is not None and count >= total_groups:
                     return
                 yield problem
                 count += 1
-            if total_groups is None:
-                return  # single epoch when unbounded
+            if not epoch_problems:
+                return
+            epoch_problems = list(self.problems)
+            rng.shuffle(epoch_problems)

@@ -48,7 +48,12 @@ def main(argv: list[str] | None = None) -> None:
         exp_path,
         trainer_state,
         eos_token_id=tokenizer.eos_token_id,
-        num_trainers=int(cfg.select("world.replicas", 1)),
+        # one training_data partition per trainer process (split world) or
+        # per combined device job
+        num_trainers=(
+            int(cfg.select("world.trainer_procs", 0) or 0)
+            or int(cfg.select("world.replicas", 1))
+        ),
         ref_score_fn=ref_score_fn,
     )
     preprocessor.run()

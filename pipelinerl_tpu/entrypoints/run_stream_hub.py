@@ -1,0 +1,27 @@
+"""Stream-hub job: the cross-host stream transport server (streams_tcp.py,
+the Redis role in the reference — /root/reference/pipelinerl/streams.py:103-232)."""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+
+from ..streams_tcp import StreamHub
+from .common import load_stage_config, stage_setup
+
+logger = logging.getLogger(__name__)
+
+
+def main(argv: list[str] | None = None) -> None:
+    cfg = load_stage_config(argv)
+    exp_path = stage_setup(cfg, "stream_hub")
+    port = int(cfg.select("me.port", 7099))
+    persist = None
+    if bool(cfg.select("streams.persist", True)):
+        persist = str(Path(exp_path) / "streams_hub")
+    hub = StreamHub(host="0.0.0.0", port=port, persist_dir=persist)
+    hub.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -133,7 +133,14 @@ class InProcessLLM(BaseLLM):
             params=self.make_sampling_params(**overrides),
             request_id=prompt.id,
         )
-        result: GenResult = await asyncio.wrap_future(self.engine.submit(request))
+        try:
+            result: GenResult = await asyncio.wrap_future(self.engine.submit(request))
+        except asyncio.CancelledError:
+            # a cancelled rollout task frees its decode slot immediately
+            # instead of leaving a zombie decoding to budget (the reference
+            # gets this from vLLM's request abort, async_llm.py:61-168)
+            self.engine.abort(request.request_id)
+            raise
         content = self.tokenizer.decode(result.token_ids, skip_special_tokens=True)
         return LLMCall(
             prompt=prompt,

@@ -61,8 +61,14 @@ class EngineConfig:
     window_pipeline_depth: int = 2
     # attention implementation for prefill/score forwards: "xla" | "flash"
     attn_impl: str = "xla"
-    # decode-window cache attention: "xla" | "ragged" (Pallas kernel)
-    decode_attn_impl: str = "xla"
+    # decode-window cache attention: "auto" | "xla" | "ragged" (Pallas
+    # kernel). Measured on v5e (BENCH r02): at short context (≤512) and
+    # max_slots≤64 the batched XLA path wins (3.9 vs 6.1 ms/step — the
+    # ragged kernel's per-slot grid with G=7-row matmuls underuses the MXU
+    # and there are no beyond-length blocks to skip); ragged wins when
+    # per-slot lengths are long and ragged (cache streaming + block skip).
+    # "auto" picks xla below 1k mean capacity, ragged above, on TPU.
+    decode_attn_impl: str = "auto"
     # same-bucket admissions prefill together (batch sizes 8/4/2/1 up to
     # this cap); batch-1 prefill is weight-read-bound, so this matters
     max_prefill_batch: int = 8
@@ -113,8 +119,9 @@ class _Slot:
     version_start: int = 0
     max_new_tokens: int = 0
     # True while the prefill-sampled first token has not yet been delivered
-    # (it rides along in the next window's packed output)
-    pending_first: bool = False
+    # (it rides along in the next window's packed output); set False once
+    # the token reaches the slot's transcript
+    pending_first: bool = True
     # monotonically increasing slot-assignment id: guards pipelined windows
     # against delivering a previous occupant's tokens to a new request
     gen: int = 0
@@ -194,26 +201,45 @@ class InferenceEngine:
         # perf counters
         self.total_generated_tokens = 0
         self.total_prefill_tokens = 0
+        # prompt tokens served by KV fork instead of recompute (GRPO groups
+        # share one prompt; the reference gets this from vLLM prefix caching)
+        self.prefill_reused_tokens = 0
         self.decode_steps = 0
+        # speculation accounting: tokens decoded past a slot's stop/budget
+        # inside a window (wasted), and slot occupancy at dispatch
+        self.speculative_wasted_tokens = 0
+        self.windows_dispatched = 0
+        self.window_slots_dispatched = 0
+        self.aborted_requests = 0
 
         window = max(1, cfg.decode_window)
+        decode_attn = cfg.decode_attn_impl
+        if decode_attn == "auto":
+            decode_attn = (
+                "ragged"
+                if jax.default_backend() == "tpu" and cfg.max_len >= 1024
+                else "xla"
+            )
+        self.decode_attn_impl = decode_attn
         self._decode_fast = jax.jit(
             partial(
                 _decode_window_fn, model_cfg, False, window,
-                attn_impl=cfg.decode_attn_impl,
+                attn_impl=decode_attn,
             ),
             donate_argnums=(1, 2),
         )
         self._decode_masked = jax.jit(
             partial(
                 _decode_window_fn, model_cfg, True, window,
-                attn_impl=cfg.decode_attn_impl,
+                attn_impl=decode_attn,
             ),
             donate_argnums=(1, 2),
         )
         self._rng_device = jax.random.key(cfg.seed + 1)
         self._windows: deque[_Window] = deque()
         self._gen_counter = 0
+        self._abort_ids: set[str] = set()
+        self._fork_fns: dict[int, Any] = {}
         # per-slot (first sampled token, bitcast logprob) written by prefill on
         # device; fetched as row 0 of the packed window output (zero extra
         # device->host round trips per admission)
@@ -238,6 +264,48 @@ class InferenceEngine:
             self._queue.append((request, future))
         self._work_event.set()
         return future
+
+    def abort(self, request_id: str) -> None:
+        """Cancel a request by id (thread-safe). Queued requests resolve
+        immediately with finish_reason="abort"; an in-flight slot is freed at
+        the next scheduling step, its future resolving with the tokens
+        generated so far. The reference gets abort semantics from vLLM
+        (async_llm.py:61-168); here a freed slot stops occupying decode
+        windows within one step."""
+        if not request_id:
+            return
+        with self._queue_lock:
+            self._abort_ids.add(request_id)
+        self._work_event.set()
+
+    def _process_aborts(self) -> bool:
+        with self._queue_lock:
+            if not self._abort_ids:
+                return False
+            ids = self._abort_ids
+            self._abort_ids = set()
+            kept: deque = deque()
+            queued_hits = []
+            for request, future in self._queue:
+                if request.request_id in ids:
+                    queued_hits.append((request, future))
+                else:
+                    kept.append((request, future))
+            self._queue = kept
+        did = False
+        for request, future in queued_hits:
+            future.set_result(
+                GenResult([], [], "abort", self.version, self.version,
+                          len(request.prompt_ids))
+            )
+            self.aborted_requests += 1
+            did = True
+        for i, s in enumerate(self._slots):
+            if s is not None and s.request.request_id in ids:
+                self._finish_slot(i, "abort")
+                self.aborted_requests += 1
+                did = True
+        return did
 
     def update_params(self, params: dict, version: int) -> None:
         """Swap weights between decode steps — no pause, no drain. Under TP
@@ -284,6 +352,27 @@ class InferenceEngine:
     def num_pending(self) -> int:
         return len(self._queue)
 
+    def perf_counters(self) -> dict:
+        """Engine-side observability: prefix-reuse, speculation waste, and
+        slot occupancy (reference exposes the analogues through vLLM metrics,
+        SURVEY.md §5)."""
+        windows = max(1, self.windows_dispatched)
+        produced = max(1, self.total_generated_tokens)
+        return {
+            "generated_tokens": self.total_generated_tokens,
+            "prefill_tokens": self.total_prefill_tokens,
+            "prefill_reused_tokens": self.prefill_reused_tokens,
+            "decode_steps": self.decode_steps,
+            "speculative_wasted_tokens": self.speculative_wasted_tokens,
+            "speculation_waste_frac": self.speculative_wasted_tokens
+            / (produced + self.speculative_wasted_tokens),
+            "slot_occupancy": self.window_slots_dispatched
+            / (windows * self.cfg.max_slots),
+            "aborted_requests": self.aborted_requests,
+            "num_active": self.num_active,
+            "num_pending": self.num_pending,
+        }
+
     # ------------------------------------------------------------------
     # engine loop
     # ------------------------------------------------------------------
@@ -295,11 +384,12 @@ class InferenceEngine:
                 self._work_event.clear()
 
     def step(self) -> bool:
-        """One scheduling iteration: apply weight swap, admit, decode."""
+        """One scheduling iteration: apply weight swap, abort, admit, decode."""
         self._maybe_swap_params()
+        aborted = self._process_aborts()
         admitted = self._admit()
         decoded = self._decode()
-        return admitted or decoded
+        return aborted or admitted or decoded
 
     def _maybe_swap_params(self) -> None:
         with self._params_lock:
@@ -318,7 +408,13 @@ class InferenceEngine:
         weight-read-bound (~1 ms for 0.5B on v5e regardless of length), so
         admission waves were costing as much as decoding itself. The
         reference gets this from vLLM's mixed continuous batching
-        (SURVEY.md §2.4)."""
+        (SURVEY.md §2.4).
+
+        Requests with IDENTICAL prompts (the 8 attempts of a GRPO group
+        arrive together) are prefilled ONCE: the first request computes the
+        prompt KV; the siblings' slots are populated by an on-device cache
+        fork plus independent first-token samples from the saved prefill
+        logits — the prefix-caching win the reference gets from vLLM."""
         free_slots = [i for i, s in enumerate(self._slots) if s is None]
         if not free_slots:
             return False
@@ -327,12 +423,20 @@ class InferenceEngine:
             pairs = [self._queue.popleft() for _ in range(take)]
         if not pairs:
             return False
-        # group by prefill bucket
+        # cluster identical prompts (insertion-ordered); one primary each
+        clusters: dict[tuple, list[tuple]] = {}
+        for pair in pairs:
+            clusters.setdefault(tuple(pair[0].prompt_ids), []).append(pair)
+        slot_iter = iter(free_slots)
+        # group primaries by prefill bucket
         by_bucket: dict[int, list] = {}
-        for (request, future), slot in zip(pairs, free_slots):
+        for prompt, members in clusters.items():
+            primary_slot = next(slot_iter)
+            request, future = members[0]
             n = len(request.prompt_ids)
             bucket = next(b for b in self.buckets if b >= n)
-            by_bucket.setdefault(bucket, []).append((slot, request, future))
+            entry = [primary_slot, request, future, members[1:], [next(slot_iter) for _ in members[1:]]]
+            by_bucket.setdefault(bucket, []).append(entry)
         for bucket, group in by_bucket.items():
             pos = 0
             while pos < len(group):
@@ -345,12 +449,71 @@ class InferenceEngine:
                 pos += batch
         return True
 
-    def _prefill_batch(
-        self, bucket: int, group: list[tuple[int, GenRequest, Future]]
+    def _fork_fn_for(self, n_forks: int):
+        fn = self._fork_fns.get(n_forks)
+        if fn is None:
+            fn = jax.jit(
+                partial(_fork_fn, n_forks), donate_argnums=(0, 1, 2, 3)
+            )
+            self._fork_fns[n_forks] = fn
+        return fn
+
+    def _fork_slots(
+        self,
+        src_slot: int,
+        logits_row: Any,  # [V] device array — prefill last-token logits
+        siblings: list[tuple[GenRequest, Future]],
+        dst_slots: list[int],
     ) -> None:
+        """Populate ``dst_slots`` from ``src_slot``'s freshly prefilled KV:
+        one contiguous device copy per fork plus an independent first-token
+        sample — no second prefill of the shared prompt."""
+        F = len(dst_slots)
+        temps = np.ones(F, np.float32)
+        top_p = np.ones(F, np.float32)
+        top_k = np.zeros(F, np.int32)
+        for f, (request, _) in enumerate(siblings):
+            p = request.params
+            temps[f], top_p[f], top_k[f] = p.temperature, p.top_p, p.top_k
+        (
+            self.k_cache,
+            self.v_cache,
+            self.cache_lens,
+            self.first_info,
+            self._rng_device,
+        ) = self._fork_fn_for(F)(
+            self.k_cache,
+            self.v_cache,
+            self.cache_lens,
+            self.first_info,
+            logits_row,
+            jnp.asarray(src_slot, jnp.int32),
+            jnp.asarray(np.asarray(dst_slots, np.int32)),
+            self._rng_device,
+            jnp.asarray(temps),
+            jnp.asarray(top_p),
+            jnp.asarray(top_k),
+        )
+        for (request, future), slot in zip(siblings, dst_slots):
+            n = len(request.prompt_ids)
+            self.prefill_reused_tokens += n
+            max_new = min(request.params.max_tokens, self.cfg.max_len - n)
+            self._gen_counter += 1
+            self._slots[slot] = _Slot(
+                request=request,
+                future=future,
+                version_start=self.version,
+                max_new_tokens=max_new,
+                pending_first=True,
+                gen=self._gen_counter,
+            )
+
+    def _prefill_batch(self, bucket: int, group: list[list]) -> None:
         """Dispatch one padded-batch prefill WITHOUT any host sync — each
         request's first sampled token stays on device and is materialized
-        with the next decode window."""
+        with the next decode window. ``group`` rows are
+        [slot, request, future, sibling_pairs, sibling_slots]; siblings share
+        the row's prompt and are populated by a KV fork after the prefill."""
         B = len(group)
         padded = np.zeros((B, bucket), np.int32)
         lengths = np.zeros(B, np.int32)
@@ -358,7 +521,7 @@ class InferenceEngine:
         temps = np.ones(B, np.float32)
         top_p = np.ones(B, np.float32)
         top_k = np.zeros(B, np.int32)
-        for b, (slot, request, _) in enumerate(group):
+        for b, (slot, request, _, _, _) in enumerate(group):
             n = len(request.prompt_ids)
             padded[b, :n] = request.prompt_ids
             lengths[b] = n
@@ -370,6 +533,7 @@ class InferenceEngine:
             self.v_cache,
             self.cache_lens,
             self.first_info,
+            last_logits,
             self._rng_device,
         ) = self._prefill(
             self.params,
@@ -385,7 +549,7 @@ class InferenceEngine:
             jnp.asarray(top_p),
             jnp.asarray(top_k),
         )
-        for slot, request, future in group:
+        for b, (slot, request, future, siblings, sibling_slots) in enumerate(group):
             n = len(request.prompt_ids)
             self.total_prefill_tokens += n
             max_new = min(request.params.max_tokens, self.cfg.max_len - n)
@@ -398,6 +562,8 @@ class InferenceEngine:
                 pending_first=True,
                 gen=self._gen_counter,
             )
+            if siblings:
+                self._fork_slots(slot, last_logits[b], siblings, sibling_slots)
 
     def _stop_tokens(self, p: SamplingParams) -> tuple[int, ...]:
         return (self.eos_token_id,) + tuple(p.stop_token_ids)
@@ -448,7 +614,7 @@ class InferenceEngine:
             active[i] = True
             tokens[i] = s.last_token
             gens[i] = s.gen
-            if s.pending_first is not None:
+            if s.pending_first:
                 pending.append(i)
             p = s.request.params
             temperature[i] = p.temperature
@@ -487,6 +653,8 @@ class InferenceEngine:
             jnp.asarray(top_p),
             jnp.asarray(top_k),
         )
+        self.windows_dispatched += 1
+        self.window_slots_dispatched += int(active.sum())
         self._windows.append(_Window(packed, active, gens, pending))
         while len(self._windows) >= max(1, self.cfg.window_pipeline_depth):
             self._process_window(self._windows.popleft())
@@ -505,7 +673,7 @@ class InferenceEngine:
             s = self._slots[i]
             if s is None or s.gen != w.gens[i] or not s.pending_first:
                 continue
-            s.pending_first = None
+            s.pending_first = False
             token = int(first_tokens[i])
             s.last_token = token
             s.token_ids.append(token)
@@ -517,6 +685,10 @@ class InferenceEngine:
         # loop cost ~1.7 ms/step of host time at batch 64, dwarfing the
         # 3 ms/step device time
         for i, s in enumerate(self._slots):
+            if w.active[i] and (s is None or s.gen != w.gens[i]):
+                # the window's occupant finished/aborted before this sync —
+                # everything it decoded here was speculation
+                self.speculative_wasted_tokens += n_steps
             if s is None or not w.active[i] or s.gen != w.gens[i]:
                 continue
             col = win_tokens[:, i]
@@ -540,6 +712,7 @@ class InferenceEngine:
                 s.last_token = int(col[cut - 1])
                 self.total_generated_tokens += cut
             if finish is not None:
+                self.speculative_wasted_tokens += n_steps - cut
                 self._finish_slot(i, finish)
 
 
@@ -702,6 +875,46 @@ def _prefill_fn(
     tokens, logprobs = sample_masked(last_logits, sub, temperature, top_p, top_k)
     lp_bits = jax.lax.bitcast_convert_type(logprobs.astype(jnp.float32), jnp.int32)
     first_info = first_info.at[slots].set(
+        jnp.stack([tokens.astype(jnp.int32), lp_bits], axis=-1)
+    )
+    # last_logits returned so identical-prompt siblings can sample their own
+    # first token after a KV fork without re-running the prompt (_fork_fn)
+    return k_cache, v_cache, cache_lens, first_info, last_logits, rng
+
+
+def _fork_fn(
+    n_forks: int,
+    k_cache: jnp.ndarray,  # [L, S, T_alloc, K, Dh]
+    v_cache: jnp.ndarray,
+    cache_lens: jnp.ndarray,  # [S]
+    first_info: jnp.ndarray,  # [S, 2]
+    last_logits: jnp.ndarray,  # [V] — prefill logits of the source slot
+    src: jnp.ndarray,  # scalar int32
+    dsts: jnp.ndarray,  # [F] int32, F == n_forks (all distinct)
+    rng: jax.Array,
+    temperature: jnp.ndarray,  # [F]
+    top_p: jnp.ndarray,  # [F]
+    top_k: jnp.ndarray,  # [F]
+):
+    """Clone a freshly prefilled slot's KV into ``n_forks`` sibling slots and
+    sample each sibling's independent first token from the shared prefill
+    logits — prefix reuse for GRPO groups (the role vLLM's prefix cache plays
+    for the reference, SURVEY.md §2.4)."""
+    row_k = jax.lax.dynamic_slice_in_dim(k_cache, src, 1, axis=1)
+    row_v = jax.lax.dynamic_slice_in_dim(v_cache, src, 1, axis=1)
+    for f in range(n_forks):  # F is static; contiguous row copies
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, row_k, (0, dsts[f], 0, 0, 0)
+        )
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, row_v, (0, dsts[f], 0, 0, 0)
+        )
+    cache_lens = cache_lens.at[dsts].set(cache_lens[src])
+    logits = jnp.broadcast_to(last_logits[None, :], (n_forks, last_logits.shape[0]))
+    rng, sub = jax.random.split(rng)
+    tokens, logprobs = sample_masked(logits, sub, temperature, top_p, top_k)
+    lp_bits = jax.lax.bitcast_convert_type(logprobs.astype(jnp.float32), jnp.int32)
+    first_info = first_info.at[dsts].set(
         jnp.stack([tokens.astype(jnp.int32), lp_bits], axis=-1)
     )
     return k_cache, v_cache, cache_lens, first_info, rng

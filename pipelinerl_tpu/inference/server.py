@@ -45,7 +45,13 @@ class InferenceServer:
 
     # ------------------------------------------------------------------
     async def health(self, request: web.Request) -> web.Response:
-        return web.json_response({"status": "ok", "version": self.engine.version})
+        return web.json_response(
+            {
+                "status": "ok",
+                "version": self.engine.version,
+                "counters": self.engine.perf_counters(),
+            }
+        )
 
     async def models(self, request: web.Request) -> web.Response:
         return web.json_response(
@@ -174,14 +180,37 @@ class InferenceServer:
         )
 
     async def receive_weight_update(self, request: web.Request) -> web.Response:
-        """Load new weights from an HF checkpoint dir and swap them in-flight
-        (the reference's NCCL-broadcast endpoint, vllm1.py:244-249, becomes a
-        checkpoint handoff for cross-process deployments; in-process
-        deployments bypass HTTP entirely)."""
+        """Swap new weights in-flight (the reference's NCCL-broadcast
+        endpoint, vllm1.py:244-249). Two modes:
+
+        - ``application/x-msgpack`` body: serialized param arrays straight
+          from the trainer's device memory (weight_transfer.py) — the fast
+          path: no checkpoint files touch disk;
+        - JSON body with ``checkpoint_dir``: HF-checkpoint handoff (fallback
+          for operator-driven reloads).
+
+        The engine never pauses: the swap happens between decode windows."""
+        loop = asyncio.get_event_loop()
+        if request.content_type == "application/x-msgpack":
+            body = await request.read()
+
+            def deserialize_and_swap():
+                import jax
+                import jax.numpy as jnp
+
+                from .weight_transfer import deserialize_params
+
+                params, version = deserialize_params(body)
+                params.pop("value_head", None)  # trainer-only
+                params = jax.tree.map(jnp.asarray, params)
+                self.engine.update_params(params, version)
+                return version
+
+            version = await loop.run_in_executor(None, deserialize_and_swap)
+            return web.json_response({"status": "ok", "version": version})
         body = await request.json()
         ckpt_dir = body["checkpoint_dir"]
         version = int(body.get("version", self.engine.version + 1))
-        loop = asyncio.get_event_loop()
 
         def load_and_swap():
             from ..models.hf_loader import load_hf_model

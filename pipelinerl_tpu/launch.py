@@ -208,6 +208,9 @@ def run_inline(cfg: Config) -> dict[str, Any]:
     exp_path = str(cfg.output_dir)
     Path(exp_path).mkdir(parents=True, exist_ok=True)
     setup_logging(Path(exp_path) / "logs")
+    from .utils import enable_compilation_cache
+
+    enable_compilation_cache(cfg.select("compilation_cache_dir"))
     set_streams_backend(cfg.get("streams", Config({})).get("backend", "files"))
     cfg.save(Path(exp_path) / "conf" / "exp_config.yaml")
 
@@ -250,8 +253,12 @@ def run_inline(cfg: Config) -> dict[str, Any]:
         if float(cfg.finetune.rl.get("kl_coef", 0.0)) != 0.0:
             # reference-policy scoring against the frozen initial weights: a
             # second engine sharing the device (reference runs a separate
-            # ref vLLM, launch.py:149)
-            ref_engine = build_engine(cfg, params, model_cfg, tokenizer)
+            # ref vLLM, launch.py:149). Must own copies — TrainerLoop donates
+            # the original buffers on every optimizer step.
+            ref_params = jax.tree.map(
+                jnp.copy, {k: v for k, v in params.items() if k != "value_head"}
+            )
+            ref_engine = build_engine(cfg, ref_params, model_cfg, tokenizer)
             ref_score_fn = ref_engine.score_tokens
         preprocessor = Preprocessor(
             cfg,
@@ -343,16 +350,25 @@ def run_inline(cfg: Config) -> dict[str, Any]:
             if trainer is not None
             else {}
         ),
-        "engine": (
-            {
-                "generated_tokens": engine.total_generated_tokens,
-                "prefill_tokens": engine.total_prefill_tokens,
-                "decode_steps": engine.decode_steps,
-            }
-            if engine is not None
-            else {}
-        ),
+        "engine": engine.perf_counters() if engine is not None else {},
     }
+
+
+def _wait_for_hub(addr: str, timeout: float = 60.0) -> None:
+    """Block until the stream hub answers a ping."""
+    from .streams_tcp import _HubConnection
+
+    deadline = time.monotonic() + timeout
+    conn = _HubConnection(addr)
+    while True:
+        try:
+            conn.request({"op": "ping"}, retries=1)
+            conn.close()
+            return
+        except Exception:
+            if time.monotonic() > deadline:
+                raise TimeoutError(f"Stream hub {addr} failed to come up")
+            time.sleep(0.5)
 
 
 def _wait_for_http(urls: list[str], timeout: float = 600.0) -> None:
@@ -375,9 +391,12 @@ def _wait_for_http(urls: list[str], timeout: float = 600.0) -> None:
 
 
 def run_processes(cfg: Config) -> int:
-    """Multi-process deployment: device job (engine+trainer on the chips),
-    actor/preprocessor/environment host jobs, supervised fail-fast
-    (reference launch.py:489-596). Returns an exit code."""
+    """Multi-process / multi-host deployment: device jobs (or a split
+    engine/trainer world), actor/preprocessor/environment host jobs, the
+    stream hub for cross-host transport, supervised fail-fast
+    (reference launch.py:489-596 + multi-node 306-399). Non-local hosts are
+    reached over ssh (the reference's DNS job scheme, world.py:44-49, maps
+    to ``world.hosts``). Returns an exit code."""
     import subprocess
 
     from .world import WorldMap
@@ -391,11 +410,17 @@ def run_processes(cfg: Config) -> int:
     cfg["jobs"] = world_map.to_config()
     if world_map.environment_servers:
         cfg["environment"] = world_map.environment_servers
+    if world_map.use_stream_hub:
+        # all stages route streams through the hub (cross-host transport)
+        cfg["streams"] = {"backend": "tcp", "hub": world_map.stream_hub_addr}
     config_dir = exp_path / "conf"
     cfg.save(config_dir / "exp_config.yaml")
 
     entrypoints = {
         "device": "pipelinerl_tpu.entrypoints.run_device",
+        "engine": "pipelinerl_tpu.entrypoints.run_engine",
+        "trainer": "pipelinerl_tpu.entrypoints.run_trainer",
+        "stream_hub": "pipelinerl_tpu.entrypoints.run_stream_hub",
         "actor": "pipelinerl_tpu.entrypoints.run_actor",
         "preprocessor": "pipelinerl_tpu.entrypoints.run_preprocess",
         "environment": "pipelinerl_tpu.entrypoints.run_environment",
@@ -404,6 +429,7 @@ def run_processes(cfg: Config) -> int:
     procs: list[tuple[str, Any]] = []
     log_dir = exp_path / "logs"
     log_dir.mkdir(parents=True, exist_ok=True)
+    chip_jobs = ("device", "engine", "trainer")
 
     def spawn(job) -> None:
         name = f"{job.kind}_{job.replica_idx}"
@@ -418,27 +444,58 @@ def run_processes(cfg: Config) -> int:
         ]
         if job.port is not None:
             cmd.append(f"+me.port={job.port}")
-        if job.kind in ("actor",):
+        if job.kind in ("actor", "trainer"):
             urls = ",".join(f'"{u}"' for u in world_map.llm_urls)
             cmd.append(f"+me.llm_urls=[{urls}]")
+        for key, value in job.extra.items():
+            cmd.append(f"+me.{key}={value}")
         env = dict(os.environ)
-        if job.kind != "device":
+        if job.kind not in chip_jobs:
             # host-only jobs must not register with the (single-tenant) TPU
             # runtime; drop the sitecustomize path and force CPU
             env["PYTHONPATH"] = str(Path(__file__).resolve().parent.parent)
             env["JAX_PLATFORMS"] = "cpu"
+        if job.kind == "trainer":
+            env["JAX_COORDINATOR_ADDRESS"] = job.extra["coordinator"]
+            env["JAX_NUM_PROCESSES"] = str(job.extra["num_processes"])
+            env["JAX_PROCESS_ID"] = str(job.extra["process_id"])
         (exp_path / job.kind).mkdir(exist_ok=True)
         script = " \\\n  ".join(cmd)
         (exp_path / job.kind / f"start_{name}.sh").write_text(f"#!/bin/sh\n{script}\n")
+        if not job.is_local:
+            # remote host: ship env inline over ssh (key-based auth assumed;
+            # the experiment dir must be on a shared filesystem)
+            env_assigns = [
+                f"{k}={env[k]}"
+                for k in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
+                          "JAX_PROCESS_ID", "JAX_PLATFORMS", "PYTHONPATH")
+                if k in env
+            ]
+            cmd = ["ssh", job.hostname, "env", *env_assigns, *cmd]
         if dry_run:
             logger.info("DRY_RUN: %s", " ".join(cmd))
             return
         log_file = open(log_dir / f"{name}.out", "w")
-        proc = subprocess.Popen(cmd, stdout=log_file, stderr=subprocess.STDOUT, env=env)
+        # own process group per job: shutdown kills the whole group, so a
+        # dying launcher cannot orphan grandchildren
+        proc = subprocess.Popen(
+            cmd, stdout=log_file, stderr=subprocess.STDOUT, env=env,
+            start_new_session=True,
+        )
         procs.append((name, proc))
 
-    # order: environments + device first, then health-gate, then the rest
-    for job in world_map.jobs_of("environment") + world_map.jobs_of("device"):
+    # order: stream hub first (transport), then environments + chip jobs,
+    # then health-gate, then the data-plane stages
+    for job in world_map.jobs_of("stream_hub"):
+        spawn(job)
+    if not dry_run and world_map.use_stream_hub:
+        _wait_for_hub(world_map.stream_hub_addr)
+    for job in (
+        world_map.jobs_of("environment")
+        + world_map.jobs_of("device")
+        + world_map.jobs_of("engine")
+        + world_map.jobs_of("trainer")
+    ):
         spawn(job)
     if not dry_run:
         _wait_for_http(world_map.llm_urls)
@@ -449,6 +506,29 @@ def run_processes(cfg: Config) -> int:
         spawn(job)
     if dry_run:
         return 0
+    if world_map.use_stream_hub:
+        from .streams import set_streams_backend
+
+        set_streams_backend("tcp", hub=world_map.stream_hub_addr)
+
+    def _kill_all() -> None:
+        import signal as _signal
+
+        for _, proc in procs:
+            try:
+                os.killpg(proc.pid, _signal.SIGTERM)
+            except (ProcessLookupError, PermissionError):
+                pass
+
+    # a terminated launcher must take its jobs with it (otherwise orphaned
+    # trainers keep the coordinator port and the hub keeps its socket)
+    import signal
+
+    def _on_term(signum, frame):
+        _kill_all()
+        raise KeyboardInterrupt
+
+    signal.signal(signal.SIGTERM, _on_term)
 
     trainer_state = TrainerState(str(exp_path))
     trainer_state.start_listening()
@@ -479,8 +559,7 @@ def run_processes(cfg: Config) -> int:
     except (RuntimeError, KeyboardInterrupt):
         exit_code = exit_code or 1
     finally:
-        for name, proc in procs:
-            proc.terminate()
+        _kill_all()
         for name, proc in procs:
             try:
                 proc.wait(timeout=10)

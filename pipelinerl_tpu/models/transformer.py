@@ -250,8 +250,12 @@ def forward(
         x = splice_image_embeds(x, image_embeds, image_mask)
     cos, sin = positional_cos_sin(cfg, position_ids)
 
-    if attn_impl == "flash":
+    if callable(attn_impl):
+        _attn = attn_impl  # e.g. parallel.cp_attention.make_cp_attention(...)
+    elif attn_impl == "flash":
         from ..ops.flash_attention import mha_packed_flash as _attn
+    elif attn_impl == "blockwise":
+        from ..ops.blockwise_attention import mha_packed_blockwise_simple as _attn
     else:
         _attn = mha_packed
 

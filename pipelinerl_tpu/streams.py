@@ -30,17 +30,30 @@ from pathlib import Path
 from typing import Any, Iterator
 
 _BACKEND = "files"
+_HUB_ADDR: str | None = None
 
 
-def set_streams_backend(backend: str) -> None:
-    global _BACKEND
-    if backend not in ("files", "memory", "binary"):
+def set_streams_backend(backend: str, hub: str | None = None) -> None:
+    """Select the process-wide default backend. ``tcp`` (cross-host streams
+    through the hub server, streams_tcp.py — the Redis role) requires
+    ``hub`` as "host:port"."""
+    global _BACKEND, _HUB_ADDR
+    if backend not in ("files", "memory", "binary", "tcp"):
         raise ValueError(f"Unknown streams backend {backend!r}")
+    if backend == "tcp":
+        if hub is None and _HUB_ADDR is None:
+            raise ValueError("tcp streams backend requires hub='host:port'")
+    if hub is not None:
+        _HUB_ADDR = hub
     _BACKEND = backend
 
 
 def get_streams_backend() -> str:
     return _BACKEND
+
+
+def get_streams_hub() -> str | None:
+    return _HUB_ADDR
 
 
 @dataclass(frozen=True)
@@ -123,6 +136,7 @@ class StreamWriter:
         self.spec = spec
         self.backend = backend or _BACKEND
         self._fh: io.TextIOBase | None = None
+        self._tcp = None
         if self.backend == "files":
             path = stream_file_path(spec)
             path.parent.mkdir(parents=True, exist_ok=True)
@@ -130,6 +144,11 @@ class StreamWriter:
         elif self.backend == "binary":
             self._path = stream_file_path(spec, "binary")
             self._path.parent.mkdir(parents=True, exist_ok=True)
+        elif self.backend == "tcp":
+            from .streams_tcp import TcpStreamWriter
+
+            assert _HUB_ADDR is not None, "tcp backend: call set_streams_backend first"
+            self._tcp = TcpStreamWriter(spec, _HUB_ADDR)
         else:
             self._mem = _memory_stream(spec)
 
@@ -142,6 +161,8 @@ class StreamWriter:
             from .streams_binary import write_frame
 
             write_frame(self._path, msg)
+        elif self.backend == "tcp":
+            self._tcp.write(msg)
         else:
             self._mem.append(msg)
 
@@ -149,6 +170,9 @@ class StreamWriter:
         if self._fh is not None:
             self._fh.close()
             self._fh = None
+        if self._tcp is not None:
+            self._tcp.close()
+            self._tcp = None
 
     def __enter__(self) -> "StreamWriter":
         return self
@@ -212,14 +236,22 @@ class StreamReader:
         # (read_available may stop mid-chunk; nothing may be lost)
         self._pending: deque[dict] = deque()
         self._frame_reader = None
+        self._tcp = None
         if self.backend == "binary":
             from .streams_binary import FrameReader
 
             self._frame_reader = FrameReader(stream_file_path(spec, "binary"))
+        elif self.backend == "tcp":
+            from .streams_tcp import TcpStreamReader
+
+            assert _HUB_ADDR is not None, "tcp backend: call set_streams_backend first"
+            self._tcp = TcpStreamReader(spec, _HUB_ADDR, poll_interval)
         self._stop = threading.Event()
 
     def stop(self) -> None:
         self._stop.set()
+        if self._tcp is not None:
+            self._tcp.stop()
         if self.backend == "memory":
             mem = _memory_stream(self.spec)
             with mem.cond:
@@ -248,7 +280,10 @@ class StreamReader:
                 yield json.loads(line)
 
     def read_available(self, max_messages: int | None = None) -> Iterator[dict]:
-        if self.backend == "binary":
+        if self.backend == "tcp":
+            assert self._tcp is not None
+            self._pending.extend(self._tcp.read_available())
+        elif self.backend == "binary":
             assert self._frame_reader is not None
             self._pending.extend(self._frame_reader.read_available())
         elif self.backend == "files":

@@ -56,16 +56,66 @@ def save_training_state(
     os.replace(tmp, path)
 
 
+def save_training_state_host(
+    out_dir: str | Path,
+    params_np: dict,
+    opt_state_np: Any,
+    metrics: dict[str, Any],
+) -> None:
+    """Multi-process save path: the caller has already allgathered the
+    sharded trees to host numpy (a collective on every rank); ONE rank
+    writes a pickle atomically. Orbax's StandardCheckpointer runs internal
+    cross-process barriers, so a single-rank orbax save deadlocks a
+    jax.distributed world — hence this host-side format."""
+    import pickle
+
+    out_dir = Path(out_dir).resolve()
+    path = out_dir / _STATE_DIR
+    path.mkdir(parents=True, exist_ok=True)
+    tmp = path / "state.pkl~tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(
+            {"params": params_np, "opt_state": opt_state_np, "metrics": metrics}, f
+        )
+    os.replace(tmp, path / "state.pkl")
+    (path / "metrics.json").write_text(json.dumps(metrics))
+
+
+def _restore_like(np_tree, like_tree):
+    """Put host numpy leaves back onto the template leaves' shardings
+    (multi-process safe: global arrays assemble from each process's
+    addressable shards)."""
+
+    def put(np_leaf, like_leaf):
+        if isinstance(like_leaf, jax.Array) and like_leaf.sharding is not None:
+            return jax.make_array_from_callback(
+                np_leaf.shape, like_leaf.sharding, lambda idx: np_leaf[idx]
+            )
+        return np_leaf
+
+    return jax.tree.map(put, np_tree, like_tree)
+
+
 def load_training_state(
     out_dir: str | Path, params_like: dict, opt_state_like: Any
 ) -> tuple[dict, Any, dict[str, Any]] | None:
     """Restore (params, opt_state, metrics) or None when absent. The
-    ``*_like`` trees provide structure/shape/dtype/sharding templates."""
-    import orbax.checkpoint as ocp
-
+    ``*_like`` trees provide structure/shape/dtype/sharding templates.
+    Reads either the orbax layout or the multi-process pickle layout."""
     path = Path(out_dir).resolve() / _STATE_DIR
     if not path.exists():
         return None
+    pkl = path / "state.pkl"
+    if pkl.exists():
+        import pickle
+
+        with open(pkl, "rb") as f:
+            state = pickle.load(f)
+        params = _restore_like(state["params"], params_like)
+        opt_state = _restore_like(state["opt_state"], opt_state_like)
+        return params, opt_state, state["metrics"]
+    import orbax.checkpoint as ocp
+
     with ocp.StandardCheckpointer() as ckptr:
         restored = ckptr.restore(
             path, {"params": params_like, "opt_state": opt_state_like}

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import threading
 import time
 from dataclasses import dataclass, field
 from pathlib import Path
@@ -190,6 +191,12 @@ class TrainerLoop:
                 else:
                     self.mesh = make_mesh(n_devices=dp * cp * tp, tp=tp, cp=cp)
                 self.dp = dp
+                if dp % jax.process_count() != 0:
+                    raise ValueError(
+                        f"parallel.dp={dp} must be a multiple of the process "
+                        f"count {jax.process_count()} (each rank contributes "
+                        "dp/process_count rows per pass)"
+                    )
                 if self.lora_cfg.enabled:
                     # adapters are tiny: replicate; shard the frozen base
                     rep = NamedSharding(self.mesh, PartitionSpec())
@@ -205,6 +212,8 @@ class TrainerLoop:
         self.opt_state = jax.jit(self.optimizer.init)(self.params)
         self._grad_accum = None
         self._row_buffer: list[TrainerBatch] = []
+        # global (cross-rank) sample count of the most recent gradient pass
+        self.last_pass_samples = 0
 
         self.input_spec = SingleStreamSpec(
             exp_path=exp_path, topic=input_topic, partition=rank
@@ -213,7 +222,24 @@ class TrainerLoop:
         self.checkpoint_dir = Path(exp_path) / "finetune"
 
         remat = bool(cfg.finetune.get("gradient_checkpointing", True))
-        attn_impl = str(cfg.finetune.get("attn_impl", "xla"))
+        attn_impl: Any = str(cfg.finetune.get("attn_impl", "auto"))
+        cp = int(cfg.get("parallel", {}).get("cp", 1)) if cfg.get("parallel") else 1
+        if attn_impl == "auto":
+            # cp > 1: the sequence axis is sharded — use the shard_map
+            # context-parallel path (O(L/cp) attention memory; the XLA path
+            # materializes [L, L] scores and cannot train 32k rows)
+            attn_impl = "cp" if cp > 1 else "xla"
+        if attn_impl == "cp":
+            if self.mesh is None or cp <= 1:
+                attn_impl = "xla"
+            else:
+                from ..parallel.cp_attention import make_cp_attention
+
+                attn_impl = make_cp_attention(
+                    self.mesh,
+                    num_kv_heads=model_cfg.num_kv_heads,
+                    block_kv=int(cfg.finetune.get("cp_block_kv", 1024)),
+                )
         max_step = self.max_train_steps
 
         lora_cfg = self.lora_cfg
@@ -243,12 +269,49 @@ class TrainerLoop:
 
     # ------------------------------------------------------------------
     def publish(self, writer: StreamWriter, msg) -> None:
-        writer.write(msg.model_dump())
+        # in a multi-rank trainer world only rank 0 speaks on the control
+        # plane (versions are global-consistent by construction)
+        if self.rank == 0:
+            writer.write(msg.model_dump())
 
     # -- checkpoint / resume (reference checkpoints.py:225-279,331-366) ----
     def save_checkpoint(self, tokenizer=None) -> None:
         from .checkpoints import export_hf, save_training_state
 
+        if jax.process_count() > 1:
+            # multi-process world: de-shard to host numpy on every rank (a
+            # collective), write from rank 0 only — single-rank orbax would
+            # deadlock on its internal barriers (checkpoints.py)
+            from jax.experimental import multihost_utils
+
+            from .checkpoints import save_training_state_host
+
+            params = multihost_utils.process_allgather(self.params, tiled=True)
+            opt_state = multihost_utils.process_allgather(self.opt_state, tiled=True)
+            if self.rank != 0:
+                return
+            save_training_state_host(
+                self.checkpoint_dir, params, opt_state,
+                dataclasses.asdict(self.metrics),
+            )
+            frozen = (
+                multihost_utils.process_allgather(self.frozen_params, tiled=True)
+                if self.lora_cfg.enabled
+                else {}
+            )
+            export_params = (
+                self._merge(frozen, params) if self.lora_cfg.enabled else params
+            )
+            export_params = {
+                k: v for k, v in export_params.items() if k != "value_head"
+            }
+            export_hf(self.checkpoint_dir, export_params, self.model_cfg, tokenizer)
+            logger.info(
+                "Saved checkpoint at step %d (%d samples)",
+                self.metrics.completed_steps,
+                self.metrics.samples,
+            )
+            return
         save_training_state(
             self.checkpoint_dir,
             self.params,
@@ -286,13 +349,16 @@ class TrainerLoop:
         return True
 
     def train_pass(self, batch: TrainerBatch) -> dict:
-        """One micro-batch gradient pass. With dp > 1, rows buffer until one
-        row per data-parallel shard is available and the stacked [dp, L]
-        batch runs as a single sharded pass (a sentinel row's labels are all
-        masked, so it contributes exactly zero loss). Returns host metrics
+        """One micro-batch gradient pass. With dp > 1, rows buffer until this
+        process's share (dp / process_count) of the global [dp, L] batch is
+        available; the stacked batch runs as a single sharded pass (a
+        sentinel row's labels are all masked, so it contributes exactly zero
+        loss). Sample/token counts are GLOBAL (allgathered across ranks) so
+        every rank publishes the same weight version. Returns host metrics
         ({} while buffering)."""
         self._row_buffer.append(batch)
-        if len(self._row_buffer) < self.dp:
+        dp_local = max(1, self.dp // jax.process_count())
+        if len(self._row_buffer) < dp_local:
             return {}
         rows, self._row_buffer = self._row_buffer, []
         stacked = {
@@ -315,10 +381,21 @@ class TrainerLoop:
         else:
             self._grad_accum = self._accumulate(self._grad_accum, grads)
         self.metrics.passes += 1
-        for r in rows:
-            if not r.sentinel:
-                self.metrics.samples += r.num_sequences
-                self.metrics.tokens += r.length - r.padding
+        local_samples = sum(r.num_sequences for r in rows if not r.sentinel)
+        local_tokens = sum(r.length - r.padding for r in rows if not r.sentinel)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            totals = multihost_utils.process_allgather(
+                np.asarray([local_samples, local_tokens], np.int64)
+            )
+            global_samples = int(totals[:, 0].sum())
+            global_tokens = int(totals[:, 1].sum())
+        else:
+            global_samples, global_tokens = local_samples, local_tokens
+        self.metrics.samples += global_samples
+        self.metrics.tokens += global_tokens
+        self.last_pass_samples = global_samples
         self.metrics.train_loss = float(loss)
         return {k: float(v) for k, v in metrics.items()}
 
@@ -367,6 +444,33 @@ class TrainerLoop:
         writer = StreamWriter(
             SingleStreamSpec(exp_path=self.exp_path, topic="weight_update_request")
         )
+        # prefetch: a loader thread tails the stream and decodes messages
+        # into TrainerBatch off the step loop, overlapping host decode/IO
+        # with device compute (reference finetune_loop.py:92-134 loader
+        # thread + Queue). Bounded queue: backpressure stays intact.
+        import queue as _queue
+
+        prefetch_q: _queue.Queue = _queue.Queue(maxsize=4)
+        prefetch_stop = threading.Event()
+
+        def _loader() -> None:
+            while not prefetch_stop.is_set():
+                got = False
+                for msg in reader.read_available(max_messages=8):
+                    got = True
+                    b = TrainerBatch.from_msg(msg)
+                    while not prefetch_stop.is_set():
+                        try:
+                            prefetch_q.put(b, timeout=0.25)
+                            break
+                        except _queue.Full:
+                            continue
+                if not got:
+                    time.sleep(0.005)
+
+        loader_thread = threading.Thread(
+            target=_loader, name=f"trainer-loader-{self.rank}", daemon=True
+        )
         if not bool(self.cfg.get("force_restart", False)):
             self.try_resume()
         # initial broadcast so actors can start and resync after resume
@@ -377,16 +481,16 @@ class TrainerLoop:
         step_metric_sums: dict[str, float] = {}
         t_start = time.monotonic()
         t_step = time.monotonic()
+        loader_thread.start()
         try:
             while self.metrics.completed_steps < target_steps:
                 t_wait = time.monotonic()
-                batch = None
-                for msg in reader.read_available(max_messages=1):
-                    batch = TrainerBatch.from_msg(msg)
-                if batch is None:
-                    time.sleep(0.005)
+                try:
+                    batch = prefetch_q.get(timeout=0.25)
+                except _queue.Empty:
                     self.metrics.time_waiting_for_data += time.monotonic() - t_wait
                     continue
+                self.metrics.time_waiting_for_data += time.monotonic() - t_wait
                 if (
                     self.max_lag is not None
                     and not batch.sentinel
@@ -398,7 +502,8 @@ class TrainerLoop:
                 memdbg.snapshot("after_train_pass", step=self.metrics.completed_steps)
                 for key, value in pass_metrics.items():
                     step_metric_sums[key] = step_metric_sums.get(key, 0.0) + value
-                samples_this_step += batch.num_sequences
+                if pass_metrics:  # a pass ran (not dp-row buffering)
+                    samples_this_step += self.last_pass_samples
                 self.publish(writer, SamplesProcessed(samples=self.metrics.samples))
                 if samples_this_step >= self.samples_per_step:
                     self.optimizer_step()
@@ -459,6 +564,8 @@ class TrainerLoop:
                 self.save_checkpoint()
             self.publish(writer, TrainingDone())
         finally:
+            prefetch_stop.set()
+            loader_thread.join(timeout=5)
             profiler.stop()
             memdbg.close()
             reader.stop()

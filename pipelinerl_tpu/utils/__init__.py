@@ -14,6 +14,24 @@ from typing import Iterable
 import numpy as np
 
 
+def enable_compilation_cache(cache_dir: str | Path | None = None) -> str:
+    """Point JAX at a persistent on-disk compilation cache so the multi-
+    hundred-second warmup compile is paid once per (program, jaxlib) rather
+    than once per process. Safe to call more than once. Returns the dir."""
+    import jax
+
+    path = str(
+        cache_dir
+        or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+        or Path.home() / ".cache" / "pipelinerl_tpu_xla_cache"
+    )
+    Path(path).mkdir(parents=True, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    return path
+
+
 def setup_logging(stage_dir: str | Path | None = None, level: int = logging.INFO) -> None:
     """Configure per-stage logging: stderr + rotating files under the stage dir
     (the reference's primary debugging surface, utils.py:275-322)."""

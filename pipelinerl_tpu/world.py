@@ -1,30 +1,47 @@
-"""WorldMap: job placement for multi-process deployments.
+"""WorldMap: job placement for multi-process / multi-host deployments.
 
 TPU-native re-think of the reference WorldMap (/root/reference/pipelinerl/
-world.py:36-268). The reference splits GPUs between many CUDA processes;
-on TPU the chips of a host belong to ONE process (the device job: engine(s)
-+ trainer sharing the mesh, weight updates in-process), while actors,
-preprocessors, and environment servers are pure-host processes talking over
-streams and HTTP. Multi-host scaling adds one device job per host (engine
-replicas / sharded trainer via jax.distributed) and spreads the host jobs.
+world.py:36-268). The reference splits GPUs between many CUDA processes; on
+TPU the chips of a host belong to ONE process, so placement is in units of
+host processes:
+
+- ``device`` jobs: engine + trainer sharing the host's chips (single-host
+  default — weight updates are in-process pointer swaps);
+- split deployments (``world.trainer_procs > 0``): ``trainer`` jobs form one
+  jax.distributed world (the sharded learner mesh; dp spans hosts over DCN)
+  while ``engine`` jobs serve rollouts, receiving weight pushes over HTTP
+  (inference/weight_transfer.py) — the reference's actor:finetune GPU split
+  (conf/base.yaml:75-81) expressed host-wise;
+- ``stream_hub``: the cross-host stream transport (streams_tcp.py, the
+  Redis role) on the head host;
+- ``actor`` / ``preprocessor`` / ``environment``: pure-host jobs, spread
+  round-robin over the host list.
+
+``world.hosts`` lists placement targets (index 0 = head host, where the
+launcher runs); non-local hosts are reached over ssh by the launcher.
 """
 
 from __future__ import annotations
 
-import os
 from dataclasses import dataclass, field
 
 from .config import Config
 
+_LOCAL_HOSTS = ("127.0.0.1", "localhost")
+
 
 @dataclass
 class Job:
-    kind: str  # "device" | "actor" | "preprocessor" | "environment" | "launcher"
+    kind: str  # "device" | "engine" | "trainer" | "stream_hub" | "actor" | "preprocessor" | "environment"
     replica_idx: int = 0
     hostname: str = "127.0.0.1"
     port: int | None = None
     # extra per-job settings exposed to the child via cfg.me
     extra: dict = field(default_factory=dict)
+
+    @property
+    def is_local(self) -> bool:
+        return self.hostname in _LOCAL_HOSTS
 
     def to_dict(self) -> dict:
         return {
@@ -40,37 +57,87 @@ class WorldMap:
     def __init__(self, cfg: Config):
         self.cfg = cfg
         world = cfg.get("world", Config({}))
+        self.hosts: list[str] = list(world.get("hosts", ["127.0.0.1"]))
         self.replicas = int(world.get("replicas", 1))
+        self.trainer_procs = int(world.get("trainer_procs", 0))
         self.env_replicas = int(world.get("env_replicas", 1))
         engine_port = int(world.get("engine_start_port", 8080))
         env_port = int(world.get("environment_start_port", 7777))
+        self.stream_hub_port = int(world.get("stream_hub_port", 7099))
+        self.coordinator_port = int(world.get("coordinator_port", 7199))
+        hub_setting = world.get("stream_hub", "auto")
+        self.use_stream_hub = (
+            len(self.hosts) > 1 if hub_setting == "auto" else bool(hub_setting)
+        )
+
+        def host(i: int) -> str:
+            return self.hosts[i % len(self.hosts)]
 
         self.jobs: list[Job] = []
-        # one device job per replica: owns the chips, runs engine + trainer
-        for i in range(self.replicas):
+        if self.use_stream_hub:
             self.jobs.append(
-                Job(kind="device", replica_idx=i, port=engine_port + i)
+                Job(kind="stream_hub", hostname=self.hosts[0], port=self.stream_hub_port)
             )
+        if self.trainer_procs > 0:
+            # split deployment: engines and the trainer world are separate
+            # processes (possibly separate hosts / TPU slices)
+            for i in range(self.replicas):
+                self.jobs.append(
+                    Job(kind="engine", replica_idx=i, hostname=host(i), port=engine_port + i)
+                )
+            coordinator = f"{self.hosts[0]}:{self.coordinator_port}"
+            for i in range(self.trainer_procs):
+                self.jobs.append(
+                    Job(
+                        kind="trainer",
+                        replica_idx=i,
+                        hostname=host(len(self.hosts) - 1 - (i % len(self.hosts))),
+                        extra={
+                            "process_id": i,
+                            "num_processes": self.trainer_procs,
+                            "coordinator": coordinator,
+                        },
+                    )
+                )
+        else:
+            # one device job per replica: owns the chips, runs engine + trainer
+            for i in range(self.replicas):
+                self.jobs.append(
+                    Job(kind="device", replica_idx=i, hostname=host(i), port=engine_port + i)
+                )
         # environment servers (verifiers)
         needs_env = bool(cfg.get("environment"))
         if needs_env or cfg.get("environment_class"):
             for i in range(self.env_replicas):
                 self.jobs.append(
-                    Job(kind="environment", replica_idx=i, port=env_port + i)
+                    Job(kind="environment", replica_idx=i, hostname=host(i), port=env_port + i)
                 )
         # host-side pipeline stages
         n_actors = int(cfg.actor.get("replicas", 1)) if "actor" in cfg else 1
         for i in range(n_actors):
-            self.jobs.append(Job(kind="actor", replica_idx=i))
-        self.jobs.append(Job(kind="preprocessor", replica_idx=0))
+            self.jobs.append(Job(kind="actor", replica_idx=i, hostname=host(i)))
+        self.jobs.append(Job(kind="preprocessor", replica_idx=0, hostname=self.hosts[0]))
 
     @property
     def llm_urls(self) -> list[str]:
         return [
             f"http://{j.hostname}:{j.port}"
             for j in self.jobs
-            if j.kind == "device" and j.port
+            if j.kind in ("device", "engine") and j.port
         ]
+
+    @property
+    def stream_hub_addr(self) -> str | None:
+        for j in self.jobs:
+            if j.kind == "stream_hub":
+                return f"{j.hostname}:{j.port}"
+        return None
+
+    @property
+    def num_trainers(self) -> int:
+        """Trainer stream partitions (one per trainer process; a combined
+        device job is one trainer)."""
+        return self.trainer_procs if self.trainer_procs > 0 else self.replicas
 
     @property
     def environment_servers(self) -> list[dict]:

@@ -258,3 +258,86 @@ def test_merge_staged_scatter():
     for s, b in enumerate([0, 3, 8]):
         assert (merged[:, s, b : b + W] == s + 1).all()
         assert (np.delete(merged[:, s], range(b, b + W), axis=1) == 0).all()
+
+
+def test_group_prefix_fork_matches_separate_prefill(tiny_model):
+    """Identical prompts submitted together must fork the prefilled KV: one
+    real prefill, siblings reuse it, and every slot's greedy continuation
+    still matches the full-forward ground truth."""
+    params, cfg = tiny_model
+    engine = make_engine(params, cfg, max_slots=4)
+    prompt = [5, 9, 3, 7]
+    reqs = [
+        GenRequest(list(prompt), SamplingParams(temperature=0.0, max_tokens=6))
+        for _ in range(4)
+    ]
+    results = run_sync(engine, reqs)
+    expected = greedy_reference(params, cfg, prompt, 6)
+    for r in results:
+        assert r.token_ids == expected
+    # 1 prefill computed, 3 forked
+    assert engine.total_prefill_tokens == len(prompt)
+    assert engine.prefill_reused_tokens == 3 * len(prompt)
+
+
+def test_group_fork_samples_independently(tiny_model):
+    """Forked siblings draw their own first token (T=1 sampling must not be
+    perfectly correlated across the group)."""
+    params, cfg = tiny_model
+    engine = make_engine(params, cfg, max_slots=8)
+    prompt = [5, 9, 3]
+    reqs = [
+        GenRequest(list(prompt), SamplingParams(temperature=5.0, max_tokens=4))
+        for _ in range(8)
+    ]
+    results = run_sync(engine, reqs)
+    firsts = {r.token_ids[0] for r in results if r.token_ids}
+    assert len(firsts) > 1, f"all 8 forked rollouts sampled {firsts}"
+
+
+def test_abort_queued_and_inflight(tiny_model):
+    """abort() resolves a queued request immediately and frees an in-flight
+    slot at the next step, keeping the tokens generated so far."""
+    params, cfg = tiny_model
+    engine = make_engine(params, cfg, max_slots=1)
+    running = GenRequest(
+        [5, 9], SamplingParams(temperature=0.0, max_tokens=40), request_id="run"
+    )
+    queued = GenRequest(
+        [7, 3], SamplingParams(temperature=0.0, max_tokens=40), request_id="waiting"
+    )
+    f_run = engine.submit(running)
+    f_q = engine.submit(queued)
+    # a few steps: running occupies the only slot, queued stays queued
+    for _ in range(4):
+        engine.step()
+    assert not f_q.done()
+    engine.abort("waiting")
+    engine.step()
+    assert f_q.done() and f_q.result().finish_reason == "abort"
+    engine.abort("run")
+    for _ in range(40):
+        if f_run.done():
+            break
+        engine.step()
+    res = f_run.result()
+    assert res.finish_reason in ("abort", "stop", "length")
+    if res.finish_reason == "abort":
+        assert engine.aborted_requests >= 2
+    # slot is free again and the engine still serves new work
+    f_new = engine.submit(GenRequest([2, 4], SamplingParams(temperature=0.0, max_tokens=3)))
+    for _ in range(200):
+        if f_new.done():
+            break
+        engine.step()
+    assert f_new.done() and f_new.result().finish_reason in ("stop", "length")
+
+
+def test_perf_counters_shape(tiny_model):
+    params, cfg = tiny_model
+    engine = make_engine(params, cfg)
+    run_sync(engine, [GenRequest([5, 9], SamplingParams(temperature=0.0, max_tokens=4))])
+    c = engine.perf_counters()
+    assert c["generated_tokens"] >= 4
+    assert 0.0 <= c["speculation_waste_frac"] <= 1.0
+    assert 0.0 < c["slot_occupancy"] <= 1.0

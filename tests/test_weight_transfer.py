@@ -1,0 +1,129 @@
+"""Binary weight push: serialize → wire → deserialize must round-trip the
+param tree exactly (incl. bf16), and the HTTP push must swap an engine's
+weights in-flight (the reference's NCCL broadcast role,
+finetune_loop.py:234-292)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pipelinerl_tpu.inference.weight_transfer import (
+    deserialize_params,
+    flatten_params,
+    gather_for_push,
+    serialize_params,
+    unflatten_params,
+)
+from pipelinerl_tpu.models.transformer import ModelConfig, init_params
+
+
+@pytest.fixture(scope="module")
+def tiny_params():
+    cfg = ModelConfig(
+        vocab_size=32, hidden_size=32, intermediate_size=64,
+        num_layers=2, num_heads=2, num_kv_heads=2, dtype=jnp.float32,
+    )
+    return init_params(jax.random.key(0), cfg), cfg
+
+
+def test_roundtrip_exact(tiny_params):
+    params, _ = tiny_params
+    body = serialize_params(params, version=7)
+    restored, version = deserialize_params(body)
+    assert version == 7
+    flat_a = dict(flatten_params(params))
+    flat_b = dict(flatten_params(restored))
+    assert set(flat_a) == set(flat_b)
+    for k in flat_a:
+        np.testing.assert_array_equal(np.asarray(flat_a[k]), flat_b[k])
+
+
+def test_roundtrip_bf16():
+    tree = {"layers": {"w": jnp.ones((4, 4), jnp.bfloat16) * 1.5}, "b": jnp.zeros(3)}
+    restored, _ = deserialize_params(serialize_params(tree, 1))
+    assert str(restored["layers"]["w"].dtype) == "bfloat16"
+    np.testing.assert_array_equal(
+        np.asarray(restored["layers"]["w"], np.float32), np.full((4, 4), 1.5)
+    )
+
+
+def test_unflatten_inverts_flatten(tiny_params):
+    params, _ = tiny_params
+    flat = dict(flatten_params(params))
+    tree = unflatten_params(flat)
+    assert jax.tree.structure(tree) == jax.tree.structure(params)
+
+
+def test_gather_for_push_desharrds(tiny_params):
+    params, _ = tiny_params
+    from pipelinerl_tpu.parallel import make_mesh, shard_params
+
+    mesh = make_mesh(n_devices=8, tp=2)
+    sharded = shard_params(params, mesh)
+    gathered = gather_for_push(sharded, mesh)
+    for (ka, a), (kb, b) in zip(flatten_params(params), flatten_params(gathered)):
+        assert ka == kb
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_http_push_swaps_engine_weights(tiny_params):
+    """End-to-end over a live aiohttp server: push v2 weights, engine
+    version bumps and outputs change accordingly."""
+    import asyncio
+    import threading
+    import urllib.request
+    import json as _json
+
+    from pipelinerl_tpu.inference import EngineConfig, InferenceEngine
+    from pipelinerl_tpu.inference.server import InferenceServer
+    from pipelinerl_tpu.inference.weight_transfer import push_weights_http
+    from pipelinerl_tpu.models.toy_tokenizer import ToyTokenizer
+
+    params, cfg = tiny_params
+    engine = InferenceEngine(
+        params, cfg,
+        EngineConfig(max_slots=2, max_len=32, prefill_buckets=(16,),
+                     cache_dtype=jnp.float32),
+        eos_token_id=0,
+    )
+    engine.start()
+    server = InferenceServer(engine, ToyTokenizer())
+    loop = asyncio.new_event_loop()
+    runner_box = {}
+
+    def serve():
+        asyncio.set_event_loop(loop)
+        runner_box["runner"] = loop.run_until_complete(server.run(host="127.0.0.1", port=0))
+        loop.run_forever()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    for _ in range(100):
+        if "runner" in runner_box:
+            break
+        import time
+        time.sleep(0.05)
+    site = runner_box["runner"].sites and list(runner_box["runner"].sites)[0]
+    port = site._server.sockets[0].getsockname()[1]
+    url = f"http://127.0.0.1:{port}"
+
+    with urllib.request.urlopen(f"{url}/health", timeout=10) as resp:
+        assert _json.loads(resp.read())["version"] == 0
+
+    new_params = jax.tree.map(lambda x: x * 2.0, params)
+    push_weights_http([url], new_params, version=5, timeout=60)
+
+    import time
+    for _ in range(200):  # engine thread applies the swap between steps
+        if engine.version == 5:
+            break
+        time.sleep(0.05)
+    assert engine.version == 5
+    got = dict(flatten_params(engine.params))
+    want = dict(flatten_params(new_params))
+    for k in want:
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]), rtol=1e-6)
+    engine.stop()
+    loop.call_soon_threadsafe(loop.stop)
