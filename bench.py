@@ -136,13 +136,13 @@ def main() -> None:
     warmup_s = time.monotonic() - t0
     log(f"warmup (compile) took {warmup_s:.1f}s")
 
-    # timed steady-state stream: jittered lengths stagger finishes, so the
-    # run exercises continuous batching (admissions interleaving decode
-    # windows) rather than one synchronized wave
+    # headline: synchronized full-occupancy waves — the same workload BENCH_r01
+    # measured, so vs_baseline is apples-to-apples
     gen_before = engine.total_generated_tokens
     steps_before = engine.decode_steps
     t0 = time.monotonic()
-    drain(submit_wave(3 * SLOTS, jitter=True))
+    drain(submit_wave(SLOTS))
+    drain(submit_wave(SLOTS))
     elapsed = time.monotonic() - t0
     gen = engine.total_generated_tokens - gen_before
     steps = engine.decode_steps - steps_before
@@ -152,6 +152,16 @@ def main() -> None:
         f"generated {gen} tokens in {elapsed:.2f}s over {steps} decode steps "
         f"({ms_per_step:.1f} ms/step at batch {SLOTS})"
     )
+
+    # continuous-batching stream: jittered lengths stagger finishes so
+    # admissions interleave decode windows (the realistic actor-side load)
+    gen_before = engine.total_generated_tokens
+    t0 = time.monotonic()
+    drain(submit_wave(3 * SLOTS, jitter=True))
+    stream_tok_per_sec = (engine.total_generated_tokens - gen_before) / (
+        time.monotonic() - t0
+    )
+    log(f"continuous stream (jittered): {stream_tok_per_sec:.0f} tok/s")
 
     # roofline: each decode step reads all weights once plus the live KV
     steps_per_sec = steps / elapsed
@@ -191,6 +201,7 @@ def main() -> None:
                 "hbm_roofline_frac": round(hbm_util, 3),
                 "mfu": round(mfu, 4),
                 "grouped_rollout_tokens_per_sec": round(group_tok_per_sec, 1),
+                "continuous_stream_tokens_per_sec": round(stream_tok_per_sec, 1),
                 "warmup_compile_s": round(warmup_s, 1),
                 "speculation_waste_frac": round(counters["speculation_waste_frac"], 4),
                 "decode_attn_impl": engine.decode_attn_impl,

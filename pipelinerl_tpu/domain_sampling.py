@@ -108,6 +108,7 @@ def load_multidomain(dataset_names: list[str]) -> list[dict]:
         "guessing": "pipelinerl_tpu.domains.guessing.load_problems",
         "counting": "pipelinerl_tpu.domains.counting.load_problems",
         "bandit": "pipelinerl_tpu.domains.bandit.load_problems",
+        "chartqa": "pipelinerl_tpu.domains.chartqa.load_datasets",
     }
     grouped: dict[str, list[str]] = defaultdict(list)
     for name in dataset_names:

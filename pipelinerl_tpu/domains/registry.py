@@ -21,6 +21,8 @@ DEFAULT_DOMAIN_ROLLOUTS: dict[str, str] = {
     "logic": "pipelinerl_tpu.domains.logic.rollouts.generate_logic_rollout",
     "deep_research": "pipelinerl_tpu.domains.deep_research.rollouts.generate_research_rollout",
     "miniwob": "pipelinerl_tpu.domains.miniwob.rollouts.generate_miniwob_rollout",
+    "chartqa": "pipelinerl_tpu.domains.chartqa.generate_chartqa_rollout",
+    "vlm_bandit": "pipelinerl_tpu.domains.vlm_bandit.generate_vlm_bandit_rollout",
 }
 
 _RUNTIME_REGISTRY: dict[str, str] = {}

@@ -30,6 +30,19 @@ class Prompt(BaseModel):
     tools: list[dict] | None = None
     id: str = Field(default_factory=lambda: str(uuid.uuid4()))
 
+    model_config = ConfigDict(arbitrary_types_allowed=True)
+
+    def has_images(self) -> bool:
+        """True if any message content is a parts list with an image part
+        (the OpenAI-style convention the reference's chartqa domain uses)."""
+        for m in self.messages:
+            content = m.get("content")
+            if isinstance(content, list) and any(
+                p.get("type") in ("image", "image_url") for p in content
+            ):
+                return True
+        return False
+
 
 class LLMMessage(BaseModel):
     role: str = "assistant"
@@ -51,6 +64,10 @@ class LLMCall(BaseModel):
     model_version_start: int = 0
     model_version_end: int = 0
     latency: float = 0.0
+    # VLM: {"pixel_values", "image_grid_thw"} as extracted by the processor
+    # (reference re-extracts these trainer-side, async_llm.py:242-289; here
+    # they are computed once and flow with the call)
+    visual: dict | None = None
 
     @property
     def prompt_length_tokens(self) -> int:
@@ -99,11 +116,13 @@ class InProcessLLM(BaseLLM):
         tokenizer: TokenizerLike,
         parameters: dict | None = None,
         chat_template_kwargs: dict | None = None,
+        processor=None,  # inference.processor.VisualProcessorLike (VLM only)
     ):
         self.engine = engine
         self.tokenizer = tokenizer
         self.parameters = dict(parameters or {})
         self.chat_template_kwargs = dict(chat_template_kwargs or {})
+        self.processor = processor
 
     def make_sampling_params(self, **overrides) -> SamplingParams:
         p = {**self.parameters, **overrides}
@@ -127,11 +146,22 @@ class InProcessLLM(BaseLLM):
 
     async def agenerate(self, prompt: Prompt, session: Any = None, **overrides) -> LLMCall:
         start = time.monotonic()
-        prompt_ids = self.prompt_token_ids(prompt)
+        visual = None
+        if prompt.has_images():
+            if self.processor is None:
+                raise ValueError(
+                    "prompt contains images but the client has no processor"
+                )
+            prompt_ids, visual = self.processor(
+                prompt.messages, tools=prompt.tools
+            )
+        else:
+            prompt_ids = self.prompt_token_ids(prompt)
         request = GenRequest(
             prompt_ids=prompt_ids,
             params=self.make_sampling_params(**overrides),
             request_id=prompt.id,
+            visual=visual,
         )
         try:
             result: GenResult = await asyncio.wrap_future(self.engine.submit(request))
@@ -152,6 +182,7 @@ class InProcessLLM(BaseLLM):
             model_version_start=result.model_version_start,
             model_version_end=result.model_version_end,
             latency=time.monotonic() - start,
+            visual=visual,
         )
 
     async def ascore(self, token_ids: Sequence[int]) -> list[float]:
@@ -169,6 +200,12 @@ def make_training_text(llm: BaseLLM, llm_call: LLMCall) -> TrainingText:
     finished = llm_call.finish_reason != "length"
     text = llm.tokenizer.decode(input_ids, skip_special_tokens=False)
     output_text = llm.tokenizer.decode(completion_ids, skip_special_tokens=False)
+    visual_features = None
+    if llm_call.visual is not None:
+        visual_features = {
+            "pixel_values": _tolist(llm_call.visual["pixel_values"]),
+            "image_grid_thw": _tolist(llm_call.visual["image_grid_thw"]),
+        }
     return TrainingText(
         text=text,
         n_predicted=len(output_text),
@@ -179,7 +216,12 @@ def make_training_text(llm: BaseLLM, llm_call: LLMCall) -> TrainingText:
         finish_reason=llm_call.finish_reason,
         prompt_tokens=len(prompt_ids),
         output_tokens=len(completion_ids),
+        visual_features=visual_features,
     )
+
+
+def _tolist(x):
+    return x.tolist() if hasattr(x, "tolist") else x
 
 
 async def llm_async_generate(llm: BaseLLM, prompt: Prompt, session: Any = None, **overrides) -> LLMCall:

@@ -72,6 +72,9 @@ class EngineConfig:
     # same-bucket admissions prefill together (batch sizes 8/4/2/1 up to
     # this cap); batch-1 prefill is weight-read-bound, so this matters
     max_prefill_batch: int = 8
+    # VLM: merged-visual-token bucket sizes for the vision tower (pads join
+    # their own attention segments; avoids a recompile per image size)
+    vision_unit_buckets: tuple[int, ...] = (64, 256, 1024, 4096)
     # tensor parallelism: shard params (head/ffn dims) and KV caches (kv-head
     # dim) over a tp-axis mesh; GSPMD inserts the collectives in the existing
     # jitted programs (the reference's vLLM tensor-parallel-size,
@@ -97,6 +100,10 @@ class GenRequest:
     prompt_ids: list[int]
     params: SamplingParams
     request_id: str = ""
+    # VLM: {"pixel_values": np [N, patch_dim], "image_grid_thw": np [n, 3]};
+    # prompt_ids must contain one image-placeholder token per merged visual
+    # token (the HF processor convention the reference feeds vLLM)
+    visual: dict | None = None
 
 
 @dataclass
@@ -148,12 +155,19 @@ class InferenceEngine:
         cfg: EngineConfig,
         eos_token_id: int,
         version: int = 0,
+        vision_params: dict | None = None,
+        vision_cfg=None,  # models.vision.VisionConfig
     ):
         self.model_cfg = model_cfg
         self.cfg = cfg
         self.eos_token_id = eos_token_id
         self.params = params
         self.version = version
+        # frozen vision tower (models/vision.py); visual requests are refused
+        # unless present. The tower is NOT updated by weight pushes — the
+        # trainer adapts the language trunk only (see STATUS.md VLM notes).
+        self.vision_params = vision_params
+        self.vision_cfg = vision_cfg
         self._pending_params: tuple[dict, int] | None = None
         self._params_lock = threading.Lock()
 
@@ -240,6 +254,11 @@ class InferenceEngine:
         self._gen_counter = 0
         self._abort_ids: set[str] = set()
         self._fork_fns: dict[int, Any] = {}
+        # per-slot mrope decode offset (models/mrope.py delta); 0 for text.
+        # Host numpy — shipped with each window dispatch (S ints, negligible)
+        self._pos_delta = np.zeros(S, np.int32)
+        self._prefill_vlm_fns: dict[tuple[int, int], Any] = {}
+        self._encode_vision_fns: dict[int, Any] = {}
         # per-slot (first sampled token, bitcast logprob) written by prefill on
         # device; fetched as row 0 of the packed window output (zero extra
         # device->host round trips per admission)
@@ -423,20 +442,34 @@ class InferenceEngine:
             pairs = [self._queue.popleft() for _ in range(take)]
         if not pairs:
             return False
-        # cluster identical prompts (insertion-ordered); one primary each
+        # cluster identical prompts (insertion-ordered); one primary each.
+        # VLM requests cluster on (prompt, image bytes) — a GRPO group shares
+        # one image, so siblings still ride the KV fork
         clusters: dict[tuple, list[tuple]] = {}
         for pair in pairs:
-            clusters.setdefault(tuple(pair[0].prompt_ids), []).append(pair)
+            key: tuple = tuple(pair[0].prompt_ids)
+            if pair[0].visual is not None:
+                import zlib
+
+                pix = np.ascontiguousarray(pair[0].visual["pixel_values"])
+                key = key + ("#img", pix.shape, zlib.crc32(pix.tobytes()))
+            clusters.setdefault(key, []).append(pair)
         slot_iter = iter(free_slots)
         # group primaries by prefill bucket
         by_bucket: dict[int, list] = {}
+        vlm_entries: list[list] = []
         for prompt, members in clusters.items():
             primary_slot = next(slot_iter)
             request, future = members[0]
             n = len(request.prompt_ids)
             bucket = next(b for b in self.buckets if b >= n)
             entry = [primary_slot, request, future, members[1:], [next(slot_iter) for _ in members[1:]]]
-            by_bucket.setdefault(bucket, []).append(entry)
+            if request.visual is not None:
+                vlm_entries.append([bucket] + entry)
+            else:
+                by_bucket.setdefault(bucket, []).append(entry)
+        for bucket, *entry in vlm_entries:
+            self._prefill_vlm(bucket, entry)
         for bucket, group in by_bucket.items():
             pos = 0
             while pos < len(group):
@@ -499,6 +532,7 @@ class InferenceEngine:
             self.prefill_reused_tokens += n
             max_new = min(request.params.max_tokens, self.cfg.max_len - n)
             self._gen_counter += 1
+            self._pos_delta[slot] = self._pos_delta[src_slot]
             self._slots[slot] = _Slot(
                 request=request,
                 future=future,
@@ -507,6 +541,96 @@ class InferenceEngine:
                 pending_first=True,
                 gen=self._gen_counter,
             )
+
+    def _prefill_vlm(self, bucket: int, entry: list) -> None:
+        """Admit one VLM cluster: encode pixels with the frozen vision tower,
+        prefill the primary slot with spliced visual tokens + mrope
+        positions, then KV-fork identical siblings (a GRPO group shares one
+        image). Patch counts are bucketed so image-size variety does not
+        recompile the tower (pads form their own attention segments and the
+        extra merged tokens are never spliced)."""
+        from ..models.mrope import mrope_positions
+        from ..models.vision import prepare_vision_inputs
+
+        slot, request, future, siblings, sibling_slots = entry
+        vcfg = self.vision_cfg
+        if self.vision_params is None or vcfg is None:
+            exc = RuntimeError("engine has no vision tower but got a visual request")
+            for _, f in [(request, future)] + list(siblings):
+                f.set_exception(exc)
+            return
+        vis = request.visual
+        grid = np.asarray(vis["image_grid_thw"], np.int64).reshape(-1, 3)
+        vin = prepare_vision_inputs(
+            vis["pixel_values"], grid, vcfg, self.cfg.vision_unit_buckets
+        )
+        N_b = vin["patches"].shape[0]
+
+        ids = request.prompt_ids
+        n = len(ids)
+        pos3, delta = mrope_positions(
+            ids, grid, self.model_cfg.image_token_id, vcfg.spatial_merge_size,
+            tokens_per_second=vcfg.tokens_per_second,
+        )
+        padded = np.zeros((1, bucket), np.int32)
+        padded[0, :n] = ids
+        pos_p = np.zeros((3, 1, bucket), np.int32)
+        pos_p[:, 0, :n] = pos3
+        pos_p[:, 0, n:] = pos3.max() + 1 + np.arange(bucket - n, dtype=np.int32)
+        image_mask = padded == int(self.model_cfg.image_token_id)
+
+        key = (bucket, N_b)
+        fn = self._prefill_vlm_fns.get(key)
+        if fn is None:
+            fn = jax.jit(
+                partial(_prefill_vlm_fn, self.model_cfg, self.cfg.attn_impl, vcfg),
+                donate_argnums=(2, 3, 4, 5),
+            )
+            self._prefill_vlm_fns[key] = fn
+        p = request.params
+        (
+            self.k_cache,
+            self.v_cache,
+            self.cache_lens,
+            self.first_info,
+            last_logits,
+            self._rng_device,
+        ) = fn(
+            self.params,
+            self.vision_params,
+            self.k_cache,
+            self.v_cache,
+            self.cache_lens,
+            self.first_info,
+            jnp.asarray(padded),
+            jnp.asarray(np.asarray([n], np.int32)),
+            jnp.asarray(np.asarray([slot], np.int32)),
+            jnp.asarray(pos_p),
+            jnp.asarray(vin["patches"]),
+            jnp.asarray(vin["hw"]),
+            jnp.asarray(vin["win_seg"]),
+            jnp.asarray(vin["full_seg"]),
+            jnp.asarray(vin["inv_perm"]),
+            jnp.asarray(image_mask),
+            self._rng_device,
+            jnp.asarray([p.temperature], np.float32),
+            jnp.asarray([p.top_p], np.float32),
+            jnp.asarray([p.top_k], np.int32),
+        )
+        self.total_prefill_tokens += n
+        max_new = min(p.max_tokens, self.cfg.max_len - n)
+        self._gen_counter += 1
+        self._pos_delta[slot] = delta
+        self._slots[slot] = _Slot(
+            request=request,
+            future=future,
+            version_start=self.version,
+            max_new_tokens=max_new,
+            pending_first=True,
+            gen=self._gen_counter,
+        )
+        if siblings:
+            self._fork_slots(slot, last_logits[0], siblings, sibling_slots)
 
     def _prefill_batch(self, bucket: int, group: list[list]) -> None:
         """Dispatch one padded-batch prefill WITHOUT any host sync — each
@@ -554,6 +678,7 @@ class InferenceEngine:
             self.total_prefill_tokens += n
             max_new = min(request.params.max_tokens, self.cfg.max_len - n)
             self._gen_counter += 1
+            self._pos_delta[slot] = 0
             self._slots[slot] = _Slot(
                 request=request,
                 future=future,
@@ -648,6 +773,7 @@ class InferenceEngine:
             jnp.asarray(pending_mask),
             self.first_info,
             self.cache_lens,
+            jnp.asarray(self._pos_delta),
             self._rng_device,
             jnp.asarray(temperature),
             jnp.asarray(top_p),
@@ -769,6 +895,7 @@ def _decode_window_fn(
     pending_mask: jnp.ndarray,  # [S] bool — slots whose true last token is first_info
     first_info: jnp.ndarray,  # [S, 2] int32 — prefill (token, bitcast logprob)
     cache_lens: jnp.ndarray,  # [S]
+    pos_delta: jnp.ndarray,  # [S] — mrope decode offset (0 for text slots)
     rng: jax.Array,
     temperature: jnp.ndarray,
     top_p: jnp.ndarray,
@@ -797,7 +924,10 @@ def _decode_window_fn(
     def body(carry, step):
         tokens, k_staged, v_staged, rng = carry
         rng, sub = jax.random.split(rng)
-        positions = jnp.minimum(base_lens + step, T_alloc - 1)
+        # pos_delta shifts the rope value only (mrope text continuation after
+        # images — all three mrope rows equal ⇒ 1D rope at base+step+delta);
+        # cache indexing stays at base+step
+        positions = jnp.minimum(base_lens + step, T_alloc - 1) + pos_delta
         logits, k_new, v_new = decode_step_staged(
             params, model_cfg, tokens, positions, k_cache, v_cache,
             base_lens, k_staged, v_staged, step, attn_impl=attn_impl,
@@ -833,30 +963,13 @@ def _decode_window_fn(
     return packed, k_cache, v_cache, cache_lens, rng
 
 
-def _prefill_fn(
-    model_cfg: ModelConfig,
-    attn_impl: str,
-    params: dict,
-    k_cache: jnp.ndarray,  # [L, S, T, K, Dh]
-    v_cache: jnp.ndarray,
-    cache_lens: jnp.ndarray,  # [S]
-    first_info: jnp.ndarray,  # [S, 2] int32
-    input_ids: jnp.ndarray,  # [B, P] (padded bucket, batched admissions)
-    lengths: jnp.ndarray,  # [B] — true prompt lengths
-    slots: jnp.ndarray,  # [B]
-    rng: jax.Array,
-    temperature: jnp.ndarray,  # [B]
-    top_p: jnp.ndarray,  # [B]
-    top_k: jnp.ndarray,  # [B]
+def _prefill_commit(
+    k_cache, v_cache, cache_lens, first_info,
+    logits, k_new, v_new, lengths, slots, rng, temperature, top_p, top_k,
 ):
-    B, P = input_ids.shape
-    positions = jnp.broadcast_to(jnp.arange(P)[None, :], (B, P))
-    segments = jnp.zeros((B, P), jnp.int32)
-    logits, (k_new, v_new) = forward(
-        params, model_cfg, input_ids, positions, segments, return_kv=True,
-        attn_impl=attn_impl,
-    )
-    # k_new: [L, B, P, K, Dh] → write each row into its slot's cache prefix
+    """Shared prefill tail: write each row's K/V into its slot's cache
+    prefix, record lengths, sample the first token per row on device."""
+    B = logits.shape[0]
     k_block = k_new.astype(k_cache.dtype)
     v_block = v_new.astype(v_cache.dtype)
     for b in range(B):  # B is static (8/4/2/1); unrolled contiguous writes
@@ -880,6 +993,80 @@ def _prefill_fn(
     # last_logits returned so identical-prompt siblings can sample their own
     # first token after a KV fork without re-running the prompt (_fork_fn)
     return k_cache, v_cache, cache_lens, first_info, last_logits, rng
+
+
+def _prefill_fn(
+    model_cfg: ModelConfig,
+    attn_impl: str,
+    params: dict,
+    k_cache: jnp.ndarray,  # [L, S, T, K, Dh]
+    v_cache: jnp.ndarray,
+    cache_lens: jnp.ndarray,  # [S]
+    first_info: jnp.ndarray,  # [S, 2] int32
+    input_ids: jnp.ndarray,  # [B, P] (padded bucket, batched admissions)
+    lengths: jnp.ndarray,  # [B] — true prompt lengths
+    slots: jnp.ndarray,  # [B]
+    rng: jax.Array,
+    temperature: jnp.ndarray,  # [B]
+    top_p: jnp.ndarray,  # [B]
+    top_k: jnp.ndarray,  # [B]
+):
+    B, P = input_ids.shape
+    positions = jnp.broadcast_to(jnp.arange(P)[None, :], (B, P))
+    segments = jnp.zeros((B, P), jnp.int32)
+    logits, (k_new, v_new) = forward(
+        params, model_cfg, input_ids, positions, segments, return_kv=True,
+        attn_impl=attn_impl,
+    )
+    return _prefill_commit(
+        k_cache, v_cache, cache_lens, first_info,
+        logits, k_new, v_new, lengths, slots, rng, temperature, top_p, top_k,
+    )
+
+
+def _prefill_vlm_fn(
+    model_cfg: ModelConfig,
+    attn_impl: str,
+    vision_cfg,
+    params: dict,
+    vision_params: dict,
+    k_cache: jnp.ndarray,
+    v_cache: jnp.ndarray,
+    cache_lens: jnp.ndarray,
+    first_info: jnp.ndarray,
+    input_ids: jnp.ndarray,  # [1, P]
+    lengths: jnp.ndarray,  # [1]
+    slots: jnp.ndarray,  # [1]
+    positions3: jnp.ndarray,  # [3, 1, P] mrope rows
+    patches: jnp.ndarray,  # [N_b, patch_dim] window-permuted, padded
+    hw: jnp.ndarray,  # [N_b, 2]
+    win_seg: jnp.ndarray,  # [N_b]
+    full_seg: jnp.ndarray,  # [N_b]
+    inv_perm: jnp.ndarray,  # [U_b]
+    image_mask: jnp.ndarray,  # [1, P] bool — placeholder positions
+    rng: jax.Array,
+    temperature: jnp.ndarray,
+    top_p: jnp.ndarray,
+    top_k: jnp.ndarray,
+):
+    """Single-row VLM prefill: encode the image with the vision tower, splice
+    the visual tokens at the placeholder positions, run the language forward
+    with mrope positions (one jit per (prompt bucket, patch bucket) pair —
+    the reference serves chartqa through vLLM at batch 1, SURVEY.md §2.6)."""
+    from ..models.vision import vision_forward
+
+    embeds = vision_forward(
+        vision_params, vision_cfg, patches, hw, win_seg, full_seg, inv_perm
+    )  # [U_b, D]
+    segments = jnp.zeros_like(input_ids)
+    logits, (k_new, v_new) = forward(
+        params, model_cfg, input_ids, positions3, segments, return_kv=True,
+        attn_impl=attn_impl, image_embeds=embeds[None], image_mask=image_mask,
+    )
+    return _prefill_commit(
+        k_cache, v_cache, cache_lens, first_info,
+        logits, k_new, v_new, lengths, slots, rng, temperature, top_p, top_k,
+    )
 
 
 def _fork_fn(

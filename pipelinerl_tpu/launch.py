@@ -55,6 +55,13 @@ def build_model(cfg: Config):
     if model_path in (None, "toy"):
         tokenizer = ToyTokenizer()
         toy = cfg.get("toy_model", Config({}))
+        mrope = toy.get("mrope_section")
+        if mrope is None and cfg.get("toy_vision") is not None:
+            # default (t, h, w) split of the head_dim/2 rotary channels
+            hidden = int(toy.get("hidden_size", 128))
+            heads = int(toy.get("num_heads", 4))
+            half = (hidden // heads) // 2
+            mrope = (half - 2 * (half // 4), half // 4, half // 4)
         model_cfg = ModelConfig(
             vocab_size=int(toy.get("vocab_size", tokenizer.vocab_size)),
             hidden_size=int(toy.get("hidden_size", 128)),
@@ -63,6 +70,11 @@ def build_model(cfg: Config):
             num_heads=int(toy.get("num_heads", 4)),
             num_kv_heads=int(toy.get("num_kv_heads", 2)),
             dtype=train_dtype,
+            # toy VLM: mrope rows + IMAGE placeholder (toy_tokenizer.IMAGE)
+            mrope_section=tuple(int(x) for x in mrope) if mrope else None,
+            image_token_id=(
+                int(toy.get("image_token_id", 259)) if cfg.get("toy_vision") else None
+            ),
         )
         import jax
 
@@ -83,7 +95,63 @@ def build_model(cfg: Config):
     return params, model_cfg, tokenizer
 
 
-def build_engine(cfg: Config, params: dict, model_cfg: ModelConfig, tokenizer) -> InferenceEngine:
+def build_vision(cfg: Config, model_cfg: ModelConfig):
+    """→ (vision_params, vision_cfg) or (None, None) for text-only runs.
+    Toy path (``cfg.toy_vision``) builds a random frozen tower; HF VLM
+    checkpoints load via models/hf_loader.load_hf_vision."""
+    toy_vis = cfg.get("toy_vision")
+    if toy_vis is not None:
+        import jax
+        import jax.numpy as jnp
+
+        from .models.vision import VisionConfig, init_vision_params
+
+        vcfg = VisionConfig(
+            hidden_size=int(toy_vis.get("hidden_size", 16)),
+            intermediate_size=int(toy_vis.get("intermediate_size", 32)),
+            num_heads=int(toy_vis.get("num_heads", 2)),
+            depth=int(toy_vis.get("depth", 2)),
+            out_hidden_size=model_cfg.hidden_size,
+            patch_size=int(toy_vis.get("patch_size", 2)),
+            temporal_patch_size=int(toy_vis.get("temporal_patch_size", 1)),
+            spatial_merge_size=int(toy_vis.get("spatial_merge_size", 2)),
+            window_size=int(toy_vis.get("window_size", 8)),
+            fullatt_block_indexes=tuple(toy_vis.get("fullatt_block_indexes", (1,))),
+            dtype=_DTYPES[cfg.finetune.get("param_dtype", "float32")],
+        )
+        vparams = init_vision_params(jax.random.key(int(cfg.get("seed", 0)) + 3), vcfg)
+        return vparams, vcfg
+    model_path = cfg.get("model_path")
+    if model_path in (None, "toy"):
+        return None, None
+    from .models.hf_loader import load_hf_vision
+
+    return load_hf_vision(
+        model_path, dtype=_DTYPES[cfg.finetune.get("param_dtype", "float32")]
+    )
+
+
+def build_processor(cfg: Config, model_cfg: ModelConfig, tokenizer, vision_cfg):
+    """Visual processor for the rollout client (None for text-only runs)."""
+    if vision_cfg is None:
+        return None
+    if cfg.get("model_path") in (None, "toy"):
+        from .models.toy_tokenizer import ToyVisualProcessor
+
+        return ToyVisualProcessor(tokenizer, vision_cfg.spatial_merge_size)
+    from .inference.processor import HFVisualProcessor
+
+    return HFVisualProcessor(str(cfg.model_path))
+
+
+def build_engine(
+    cfg: Config,
+    params: dict,
+    model_cfg: ModelConfig,
+    tokenizer,
+    vision_params: dict | None = None,
+    vision_cfg=None,
+) -> InferenceEngine:
     ecfg = cfg.get("engine", Config({}))
     engine = InferenceEngine(
         params,
@@ -100,8 +168,22 @@ def build_engine(cfg: Config, params: dict, model_cfg: ModelConfig, tokenizer) -
             tp=int(ecfg.get("tp", 1)),
         ),
         eos_token_id=tokenizer.eos_token_id,
+        vision_params=vision_params,
+        vision_cfg=vision_cfg,
     )
     return engine
+
+
+def _is_vlm_checkpoint(model_path) -> bool:
+    if model_path in (None, "toy"):
+        return False
+    try:
+        import json as _json
+
+        with open(Path(model_path) / "config.json") as f:
+            return bool(_json.load(f).get("vision_config"))
+    except Exception:
+        return False
 
 
 def validate_config(cfg: Config) -> None:
@@ -143,6 +225,14 @@ def validate_config(cfg: Config) -> None:
     policy = cfg.select("finetune.rl.policy_loss", "reinforce")
     if policy not in ("reinforce", "ppo", "gspo"):
         problems.append(f"unknown finetune.rl.policy_loss {policy!r}")
+    # VLM invariants (reference launch.py:63-69: no packing/SP, batch 1)
+    if cfg.get("toy_vision") is not None or _is_vlm_checkpoint(cfg.get("model_path")):
+        par = cfg.get("parallel") or {}
+        if int(par.get("cp", 1)) > 1 or int(par.get("dp", 1)) > 1:
+            problems.append(
+                "VLM training requires parallel.cp == 1 and dp == 1 "
+                "(multimodal rows are unpacked and cannot be cp-sliced)"
+            )
     # unknown rl keys would be silently dropped by the RLLossConfig filter —
     # fail loudly instead (a mis-nested entropy_bonus once cost a debug hunt)
     rl_node = cfg.select("finetune.rl")
@@ -225,6 +315,7 @@ def run_inline(cfg: Config) -> dict[str, Any]:
         debug_link_streams(exp_path, str(streams_from), replay)
 
     params, model_cfg, tokenizer = build_model(cfg)
+    vision_params, vision_cfg = build_vision(cfg, model_cfg)
     engine = None
     if "actor" in stages:
         # The trainer donates its param buffers on every optimizer step, and
@@ -234,7 +325,9 @@ def run_inline(cfg: Config) -> dict[str, Any]:
         engine_params = jax.tree.map(
             jnp.copy, {k: v for k, v in params.items() if k != "value_head"}
         )
-        engine = build_engine(cfg, engine_params, model_cfg, tokenizer)
+        engine = build_engine(
+            cfg, engine_params, model_cfg, tokenizer, vision_params, vision_cfg
+        )
         engine.start()
 
     trainer_state = TrainerState(exp_path)
@@ -266,6 +359,10 @@ def run_inline(cfg: Config) -> dict[str, Any]:
             trainer_state,
             eos_token_id=tokenizer.eos_token_id,
             ref_score_fn=ref_score_fn,
+            image_token_id=model_cfg.image_token_id,
+            spatial_merge_size=(
+                vision_cfg.spatial_merge_size if vision_cfg is not None else 2
+            ),
         )
         threads.append(
             threading.Thread(target=preprocessor.run, name="preprocessor", daemon=True)
@@ -285,7 +382,8 @@ def run_inline(cfg: Config) -> dict[str, Any]:
             )
 
         trainer = TrainerLoop(
-            cfg, params, model_cfg, exp_path, weight_update_cb=push_weights
+            cfg, params, model_cfg, exp_path, weight_update_cb=push_weights,
+            vision_params=vision_params, vision_cfg=vision_cfg,
         )
         threads.append(
             threading.Thread(
@@ -294,7 +392,12 @@ def run_inline(cfg: Config) -> dict[str, Any]:
         )
 
     if "actor" in stages:
-        llm = InProcessLLM(engine, tokenizer, dict(cfg.llm.parameters.items()))
+        llm = InProcessLLM(
+            engine,
+            tokenizer,
+            dict(cfg.llm.parameters.items()),
+            processor=build_processor(cfg, model_cfg, tokenizer, vision_cfg),
+        )
         loader = resolve(cfg.dataset_loader)
         problems = loader(list(cfg.get("train_dataset_names", ["train"])))
         if cfg.get("train_subset"):

@@ -23,7 +23,11 @@ _SUPPORTED_ARCHS = {
     "Qwen3ForCausalLM": {"attention_bias": False, "qk_norm": True},
     "LlamaForCausalLM": {"attention_bias": False, "qk_norm": False},
     "MistralForCausalLM": {"attention_bias": False, "qk_norm": False},
+    # VLM: Qwen2 language trunk + vision tower (models/vision.py); the
+    # reference serves it through vLLM for chartqa (SURVEY.md §2.6)
+    "Qwen2_5_VLForConditionalGeneration": {"attention_bias": True, "qk_norm": False},
 }
+_VLM_ARCHS = {"Qwen2_5_VLForConditionalGeneration"}
 
 
 def load_model_config(model_dir: str | Path, dtype: Any = jnp.bfloat16) -> ModelConfig:
@@ -35,22 +39,73 @@ def load_model_config(model_dir: str | Path, dtype: Any = jnp.bfloat16) -> Model
             f"Unsupported architecture {arch!r}; supported: {sorted(_SUPPORTED_ARCHS)}"
         )
     flags = _SUPPORTED_ARCHS[arch]
+    # VLM checkpoints either nest the language config under text_config
+    # (current transformers) or keep it flat beside vision_config (original
+    # Qwen2.5-VL releases)
+    text = {**hf, **hf.get("text_config", {})}
+    rope_scaling = text.get("rope_scaling") or {}
+    mrope = rope_scaling.get("mrope_section") if rope_scaling.get("type") in (
+        "mrope",
+        "default",
+    ) else None
     return ModelConfig(
-        vocab_size=hf["vocab_size"],
-        hidden_size=hf["hidden_size"],
-        intermediate_size=hf["intermediate_size"],
-        num_layers=hf["num_hidden_layers"],
-        num_heads=hf["num_attention_heads"],
-        num_kv_heads=hf.get("num_key_value_heads", hf["num_attention_heads"]),
-        head_dim=hf.get("head_dim"),
-        rope_theta=hf.get("rope_theta", 10_000.0),
-        rms_norm_eps=hf.get("rms_norm_eps", 1e-6),
-        attention_bias=hf.get("attention_bias", flags["attention_bias"]),
+        vocab_size=text["vocab_size"],
+        hidden_size=text["hidden_size"],
+        intermediate_size=text["intermediate_size"],
+        num_layers=text["num_hidden_layers"],
+        num_heads=text["num_attention_heads"],
+        num_kv_heads=text.get("num_key_value_heads", text["num_attention_heads"]),
+        head_dim=text.get("head_dim"),
+        rope_theta=text.get("rope_theta", 10_000.0),
+        rms_norm_eps=text.get("rms_norm_eps", 1e-6),
+        attention_bias=text.get("attention_bias", flags["attention_bias"]),
         qk_norm=flags["qk_norm"],
-        tie_word_embeddings=hf.get("tie_word_embeddings", False),
+        tie_word_embeddings=text.get("tie_word_embeddings", False),
+        mrope_section=tuple(mrope) if mrope else None,
+        image_token_id=hf.get("image_token_id"),
+        vision_start_token_id=hf.get("vision_start_token_id"),
+        vision_end_token_id=hf.get("vision_end_token_id"),
         dtype=dtype,
         hf_architecture=arch,
     )
+
+
+def load_vision_config(model_dir: str | Path, dtype: Any = jnp.bfloat16):
+    """VisionConfig from a VLM checkpoint's config.json (None if text-only)."""
+    from .vision import VisionConfig
+
+    with open(Path(model_dir) / "config.json") as f:
+        hf = json.load(f)
+    vc = hf.get("vision_config")
+    if not vc:
+        return None
+    return VisionConfig(
+        hidden_size=vc["hidden_size"],
+        intermediate_size=vc["intermediate_size"],
+        num_heads=vc["num_heads"],
+        depth=vc["depth"],
+        out_hidden_size=vc["out_hidden_size"],
+        patch_size=vc.get("patch_size", 14),
+        temporal_patch_size=vc.get("temporal_patch_size", 2),
+        spatial_merge_size=vc.get("spatial_merge_size", 2),
+        window_size=vc.get("window_size", 112),
+        fullatt_block_indexes=tuple(vc.get("fullatt_block_indexes", (7, 15, 23, 31))),
+        in_channels=vc.get("in_channels", 3),
+        tokens_per_second=vc.get("tokens_per_second", 4),
+        dtype=dtype,
+    )
+
+
+def _normalize_key(name: str) -> str:
+    """Map the VLM checkpoint-layout variants onto one canonical scheme:
+    language trunk at ``model.layers...``, vision tower at ``visual...``
+    (original Qwen2.5-VL releases) — current transformers re-exports them as
+    ``model.language_model...`` / ``model.visual...``."""
+    if name.startswith("model.language_model."):
+        return "model." + name[len("model.language_model.") :]
+    if name.startswith("model.visual."):
+        return name[len("model.") :]
+    return name
 
 
 def _read_all_tensors(model_dir: Path) -> dict[str, np.ndarray]:
@@ -61,7 +116,7 @@ def _read_all_tensors(model_dir: Path) -> dict[str, np.ndarray]:
     for file in files:
         with safe_open(file, framework="numpy") as f:
             for name in f.keys():
-                tensors[name] = f.get_tensor(name)
+                tensors[_normalize_key(name)] = f.get_tensor(name)
     return tensors
 
 
@@ -120,3 +175,61 @@ def load_hf_model(
     if not cfg.tie_word_embeddings:
         params["lm_head"] = cast(get("lm_head.weight").T)
     return params, cfg
+
+
+def load_hf_vision(model_dir: str | Path, dtype: Any = jnp.bfloat16):
+    """Vision-tower params + VisionConfig from a Qwen2.5-VL checkpoint
+    (None, None for text-only models). Weight layout follows the public
+    Qwen2.5-VL release: ``visual.blocks.{i}.attn.qkv`` fused projections,
+    gated MLP with biases, Conv3d patch embed flattened to a matmul (the
+    processor flattens each patch in the same (C, T, P, P) order), RMSNorm
+    merger with a 2-layer MLP."""
+    model_dir = Path(model_dir)
+    vcfg = load_vision_config(model_dir, dtype)
+    if vcfg is None:
+        return None, None
+    raw = _read_all_tensors(model_dir)
+
+    def cast(x: np.ndarray) -> jnp.ndarray:
+        return jnp.asarray(x).astype(dtype)
+
+    def get(name: str) -> np.ndarray:
+        if name not in raw:
+            raise KeyError(f"Missing tensor {name!r} in checkpoint {model_dir}")
+        return raw[name]
+
+    L = vcfg.depth
+
+    def stack(fmt: str, transpose: bool = False) -> jnp.ndarray:
+        mats = [get(fmt.format(i=i)) for i in range(L)]
+        return cast(np.stack([m.T if transpose else m for m in mats]))
+
+    b = "visual.blocks.{i}."
+    params = {
+        # Conv3d [D, C, T, P, P] → [patch_dim, D] matmul
+        "patch_embed": cast(
+            get("visual.patch_embed.proj.weight").reshape(vcfg.hidden_size, -1).T
+        ),
+        "layers": {
+            "ln1": stack(b + "norm1.weight"),
+            "ln2": stack(b + "norm2.weight"),
+            "wqkv": stack(b + "attn.qkv.weight", transpose=True),
+            "bqkv": stack(b + "attn.qkv.bias"),
+            "wo": stack(b + "attn.proj.weight", transpose=True),
+            "bo": stack(b + "attn.proj.bias"),
+            "wgate": stack(b + "mlp.gate_proj.weight", transpose=True),
+            "bgate": stack(b + "mlp.gate_proj.bias"),
+            "wup": stack(b + "mlp.up_proj.weight", transpose=True),
+            "bup": stack(b + "mlp.up_proj.bias"),
+            "wdown": stack(b + "mlp.down_proj.weight", transpose=True),
+            "bdown": stack(b + "mlp.down_proj.bias"),
+        },
+        "merger": {
+            "ln": cast(get("visual.merger.ln_q.weight")),
+            "w1": cast(get("visual.merger.mlp.0.weight").T),
+            "b1": cast(get("visual.merger.mlp.0.bias")),
+            "w2": cast(get("visual.merger.mlp.2.weight").T),
+            "b2": cast(get("visual.merger.mlp.2.bias")),
+        },
+    }
+    return params, vcfg

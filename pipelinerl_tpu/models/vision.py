@@ -191,6 +191,48 @@ def permute_patches(patches: np.ndarray, meta: VisionMeta, cfg: VisionConfig) ->
     return grouped[meta.perm].reshape(patches.shape[0], -1)
 
 
+def prepare_vision_inputs(
+    pixels: np.ndarray,  # [N, patch_dim] raster order (HF pixel_values)
+    grid_thw: np.ndarray,  # [n_images, 3]
+    cfg: VisionConfig,
+    unit_buckets: tuple[int, ...] = (64, 256, 1024, 4096),
+) -> dict:
+    """Host prep for the jitted tower with STATIC shapes: window-permute the
+    patches, then pad to a merged-token bucket so image-size variety does not
+    recompile (pad patches form their own attention segments, id −1, and the
+    pad output tokens are never consumed). Returns the tower's array inputs
+    plus ``n_tokens`` (real merged tokens). Used by both the engine prefill
+    and the trainer forward."""
+    grid_thw = np.asarray(grid_thw, np.int64).reshape(-1, 3)
+    meta = vision_meta(grid_thw, cfg)
+    permuted = permute_patches(np.asarray(pixels, np.float32), meta, cfg)
+    unit = cfg.merge_unit
+    u_bucket = meta.n_tokens
+    for b in unit_buckets:
+        if b >= meta.n_tokens:
+            u_bucket = b
+            break
+    N_b = u_bucket * unit
+    patches_p = np.zeros((N_b, permuted.shape[1]), np.float32)
+    patches_p[: meta.n_patches] = permuted
+    hw_p = np.zeros((N_b, 2), np.int32)
+    hw_p[: meta.n_patches] = meta.hw
+    win_p = np.full(N_b, -1, np.int32)
+    win_p[: meta.n_patches] = meta.win_seg
+    full_p = np.full(N_b, -1, np.int32)
+    full_p[: meta.n_patches] = meta.full_seg
+    inv_p = np.arange(u_bucket, dtype=np.int32)
+    inv_p[: meta.n_tokens] = meta.inv_perm
+    return {
+        "patches": patches_p,
+        "hw": hw_p,
+        "win_seg": win_p,
+        "full_seg": full_p,
+        "inv_perm": inv_p,
+        "n_tokens": meta.n_tokens,
+    }
+
+
 # ---------------------------------------------------------------------------
 # jitted tower
 # ---------------------------------------------------------------------------
@@ -252,7 +294,11 @@ def vision_forward(
         cfg.dtype
     )
     cos, sin = _vision_rope(hw, Dh, cfg.rope_theta)
-    is_full = jnp.zeros((cfg.depth,), bool).at[list(cfg.fullatt_block_indexes)].set(True)
+    is_full = (
+        jnp.zeros((cfg.depth,), bool)
+        .at[np.asarray(cfg.fullatt_block_indexes, np.int32)]
+        .set(True)
+    )
     scale = Dh**-0.5
 
     def layer_fn(h, inputs):

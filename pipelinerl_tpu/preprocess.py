@@ -47,6 +47,8 @@ class Preprocessor:
         ref_score_fn: Callable[[Sequence[int]], list[float]] | None = None,
         input_topic: str = "actor",
         output_topic: str = "training_data",
+        image_token_id: int | None = None,
+        spatial_merge_size: int = 2,
     ):
         self.cfg = cfg
         self.exp_path = exp_path
@@ -59,6 +61,9 @@ class Preprocessor:
             exp_path=exp_path, topic=output_topic, partitions=tuple(range(num_trainers))
         )
         self.seq_length = int(cfg.finetune.seq_length)
+        # VLM: needed to compute mrope rows at packing time (pack_visual_sample)
+        self.image_token_id = image_token_id
+        self.spatial_merge_size = spatial_merge_size
         ring_size = int(cfg.preprocess.get("ring_buffer_size", 128))
         self.ring: deque[dict] = deque(maxlen=ring_size if cfg.get("pop_old_data", True) else None)
         self.published_samples = 0
@@ -171,7 +176,24 @@ class Preprocessor:
         chosen: list[dict] = []
         used = 0
         while self.ring:
-            n = len(self.ring[0]["input_ids"])
+            head = self.ring[0]
+            if head.get("visual_features"):
+                if chosen:
+                    break  # emit the text pack first; image row comes next
+                from .train.packing import pack_visual_sample
+
+                if self.image_token_id is None:
+                    raise ValueError(
+                        "multimodal sample but preprocessor has no image_token_id"
+                    )
+                return pack_visual_sample(
+                    self.ring.popleft(),
+                    self.seq_length,
+                    self.eos_token_id,
+                    self.image_token_id,
+                    self.spatial_merge_size,
+                )
+            n = len(head["input_ids"])
             if used + n > self.seq_length:
                 break
             s = self.ring.popleft()

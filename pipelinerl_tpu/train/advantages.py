@@ -73,6 +73,10 @@ def training_text_to_sample(
         "finished": bool(text.finished),
         "finish_reason": text.finish_reason,
     }
+    if text.visual_features is not None:
+        # pixel features ride with the sample into packing (VLM rows;
+        # reference re-extracts them trainer-side, async_llm.py:242-289)
+        sample["visual_features"] = text.visual_features
     return prepare_rl_fields(sample)
 
 

@@ -82,6 +82,39 @@ def pack_samples(
     )
 
 
+def pack_visual_sample(
+    sample: dict[str, Any],
+    seq_length: int,
+    eos_token_id: int,
+    image_token_id: int,
+    spatial_merge_size: int = 2,
+) -> TrainerBatch:
+    """Pack ONE multimodal sample into a [1, seq_length] batch: VLM rows are
+    never packed with others (reference forbids packing for VLM,
+    launch.py:63-69). Attaches pixel features and mrope position rows
+    (models/mrope.py) for the trainer's vision-spliced forward."""
+    import numpy as _np
+
+    from ..models.mrope import mrope_positions
+
+    batch = pack_samples([sample], seq_length, eos_token_id)
+    vis = sample["visual_features"]
+    grid = _np.asarray(vis["image_grid_thw"], _np.int64).reshape(-1, 3)
+    n = len(sample["input_ids"])
+    pos3, _ = mrope_positions(
+        sample["input_ids"], grid, image_token_id, spatial_merge_size
+    )
+    pos_full = _np.zeros((3, seq_length), _np.int32)
+    pos_full[:, :n] = pos3
+    pos_full[:, n:] = pos3.max() + 1 + _np.arange(seq_length - n, dtype=_np.int32)
+    batch.visual = {
+        "pixel_values": _np.asarray(vis["pixel_values"], _np.float32),
+        "image_grid_thw": grid,
+        "mrope_position_ids": pos_full,
+    }
+    return batch
+
+
 def make_sentinel_batch(seq_length: int, eos_token_id: int, model_version: int = 0) -> TrainerBatch:
     """A loss-free full-length batch used to equalize gradient-accumulation
     passes across data-parallel ranks (reference preprocess.py:594-663)."""

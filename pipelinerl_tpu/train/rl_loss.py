@@ -292,10 +292,13 @@ def rl_loss(
     axis_name: str | None = None,
     remat: bool = True,
     attn_impl: str = "xla",
+    image_embeds: jnp.ndarray | None = None,  # [B, M, D] frozen-tower output
+    image_mask: jnp.ndarray | None = None,  # [B, L] placeholder positions
 ) -> tuple[jnp.ndarray, dict]:
     """Forward + loss for one packed micro-batch. The loss of a sentinel batch
     is multiplied by 0 (matched collective/gradient structure across ranks,
-    reference finetune_loop.py:784-786)."""
+    reference finetune_loop.py:784-786). VLM rows pass mrope position rows as
+    batch["position_ids"] ([3, B, L]) plus spliced visual tokens."""
     model_params = {k: v for k, v in params.items() if k != "value_head"}
     outs = forward(
         model_params,
@@ -306,6 +309,8 @@ def rl_loss(
         remat=remat,
         attn_impl=attn_impl,
         return_hidden="value_head" in params,
+        image_embeds=image_embeds,
+        image_mask=image_mask,
     )
     values = None
     if "value_head" in params:

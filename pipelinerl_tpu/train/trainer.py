@@ -123,6 +123,8 @@ class TrainerLoop:
         weight_update_cb: Callable[[dict, int], None] | None = None,
         rank: int = 0,
         input_topic: str = "training_data",
+        vision_params: dict | None = None,
+        vision_cfg=None,  # models.vision.VisionConfig
     ):
         self.cfg = cfg
         self.model_cfg = model_cfg
@@ -131,6 +133,12 @@ class TrainerLoop:
         self.rank = rank
         self.metrics = TrainingMetrics()
         self.params = params
+        # frozen vision tower for VLM rows: visual tokens feed the language
+        # trunk, whose params train; the tower itself is a fixed feature
+        # extractor (the reference trains it end-to-end via DeepSpeed — an
+        # acknowledged gap, see STATUS.md VLM notes)
+        self.vision_params = vision_params
+        self.vision_cfg = vision_cfg
 
         self.samples_per_step = int(cfg.finetune.samples_per_step)
         self.weight_update_interval = int(cfg.finetune.get("weight_update_interval", 1))
@@ -255,6 +263,28 @@ class TrainerLoop:
             return grads, loss, metrics
 
         self._grad_pass = jax.jit(grad_pass)
+
+        def grad_pass_vlm(
+            params, frozen, vparams, batch, vin, image_mask, step, sentinel
+        ):
+            from ..models.vision import vision_forward
+
+            embeds = vision_forward(
+                vparams, self.vision_cfg, vin["patches"], vin["hw"],
+                vin["win_seg"], vin["full_seg"], vin["inv_perm"],
+            )  # frozen tower: grads flow only into the language trunk
+
+            def loss_fn(p):
+                full = merge_lora(frozen, p, lora_cfg) if lora_cfg.enabled else p
+                return rl_loss(
+                    full, model_cfg, self.loss_cfg, batch, step, max_step, sentinel,
+                    remat=remat, attn_impl="xla",  # VLM rows are unpacked [1, L]
+                    image_embeds=embeds[None], image_mask=image_mask,
+                )
+            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            return grads, loss, metrics
+
+        self._grad_pass_vlm = jax.jit(grad_pass_vlm)
         self._accumulate = jax.jit(
             lambda acc, grads: jax.tree.map(jnp.add, acc, grads)
         )
@@ -356,6 +386,8 @@ class TrainerLoop:
         loss). Sample/token counts are GLOBAL (allgathered across ranks) so
         every rank publishes the same weight version. Returns host metrics
         ({} while buffering)."""
+        if batch.visual is not None:
+            return self._vlm_pass(batch)
         self._row_buffer.append(batch)
         dp_local = max(1, self.dp // jax.process_count())
         if len(self._row_buffer) < dp_local:
@@ -396,6 +428,54 @@ class TrainerLoop:
         self.metrics.samples += global_samples
         self.metrics.tokens += global_tokens
         self.last_pass_samples = global_samples
+        self.metrics.train_loss = float(loss)
+        return {k: float(v) for k, v in metrics.items()}
+
+    def _vlm_pass(self, batch: TrainerBatch) -> dict:
+        """Gradient pass for one multimodal [1, L] row: encode pixels with
+        the frozen vision tower (patch-bucketed — no recompiles across image
+        sizes), splice at placeholder positions, mrope position rows."""
+        from ..models.vision import prepare_vision_inputs
+
+        if self.vision_params is None or self.vision_cfg is None:
+            raise ValueError("multimodal batch but trainer has no vision tower")
+        if self.dp > 1 or jax.process_count() > 1:
+            raise ValueError(
+                "VLM training currently requires dp=1 single-process "
+                "(the reference trains chartqa at batch 1, launch.py:63-69)"
+            )
+        vin_np = prepare_vision_inputs(
+            batch.visual["pixel_values"],
+            batch.visual["image_grid_thw"],
+            self.vision_cfg,
+        )
+        vin_np.pop("n_tokens")
+        arrays = {k: jnp.asarray(v) for k, v in batch.arrays().items()}
+        arrays["position_ids"] = jnp.asarray(
+            batch.visual["mrope_position_ids"]
+        )[:, None, :]  # [3, 1, L]
+        image_mask = jnp.asarray(
+            batch.input_ids == int(self.model_cfg.image_token_id)
+        )
+        step = jnp.asarray(self.metrics.completed_steps, jnp.float32)
+        grads, loss, metrics = self._grad_pass_vlm(
+            self.params,
+            self.frozen_params,
+            self.vision_params,
+            arrays,
+            {k: jnp.asarray(v) for k, v in vin_np.items()},
+            image_mask,
+            step,
+            jnp.asarray(1.0 if batch.sentinel else 0.0),
+        )
+        if self._grad_accum is None:
+            self._grad_accum = grads
+        else:
+            self._grad_accum = self._accumulate(self._grad_accum, grads)
+        self.metrics.passes += 1
+        self.metrics.samples += batch.num_sequences
+        self.metrics.tokens += batch.length - batch.padding
+        self.last_pass_samples = batch.num_sequences
         self.metrics.train_loss = float(loss)
         return {k: float(v) for k, v in metrics.items()}
 

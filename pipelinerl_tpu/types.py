@@ -141,6 +141,7 @@ class TrainerBatch:
         "padding",
         "seq_boundaries",
         "num_sequences",
+        "visual",
     )
 
     def __init__(
@@ -162,6 +163,7 @@ class TrainerBatch:
         padding: int = 0,
         seq_boundaries: np.ndarray | None = None,
         num_sequences: int = 0,
+        visual: dict | None = None,
     ):
         def as2d(x, dtype):
             arr = np.asarray(x, dtype=dtype)
@@ -189,6 +191,20 @@ class TrainerBatch:
             else None
         )
         self.num_sequences = int(num_sequences)
+        # VLM row (single-sequence, reference runs chartqa unpacked —
+        # launch.py:63-69): {"pixel_values" [N, patch_dim] f32,
+        # "image_grid_thw" [n, 3] i64, "mrope_position_ids" [3, L] i32}
+        if visual is not None:
+            visual = {
+                "pixel_values": np.asarray(visual["pixel_values"], np.float32),
+                "image_grid_thw": np.asarray(
+                    visual["image_grid_thw"], np.int64
+                ).reshape(-1, 3),
+                "mrope_position_ids": np.asarray(
+                    visual["mrope_position_ids"], np.int32
+                ),
+            }
+        self.visual = visual
 
     @property
     def length(self) -> int:
@@ -219,6 +235,12 @@ class TrainerBatch:
         msg["num_sequences"] = self.num_sequences
         if self.seq_boundaries is not None:
             msg["seq_boundaries"] = self.seq_boundaries.tolist()
+        if self.visual is not None:
+            msg["visual"] = (
+                dict(self.visual)
+                if arrays
+                else {k: v.tolist() for k, v in self.visual.items()}
+            )
         return msg
 
     @classmethod
@@ -232,6 +254,7 @@ class TrainerBatch:
             padding=msg.get("padding", 0),
             num_sequences=msg.get("num_sequences", 0),
             seq_boundaries=msg.get("seq_boundaries"),
+            visual=msg.get("visual"),
             **kwargs,
         )
 
@@ -239,6 +262,11 @@ class TrainerBatch:
         """Split into ``num_slices`` contiguous context-parallel shards
         (contract of reference types.py:145-180)."""
         length = self.length
+        if self.visual is not None and num_slices > 1:
+            raise ValueError(
+                "VLM batches cannot be context-parallel sliced (reference "
+                "also forbids seq_parallel for VLM, launch.py:63-69)"
+            )
         if length % num_slices != 0:
             raise ValueError(f"length {length} not divisible by {num_slices}")
         step = length // num_slices
