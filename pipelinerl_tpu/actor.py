@@ -57,6 +57,10 @@ class ActorStats:
     problem_success: dict[str, list[float]] = field(default_factory=dict)
     # model-version lag of produced samples (reference actor lag metrics)
     version_lags: list[float] = field(default_factory=list)
+    # full-run success history (NOT drained by snapshot): learning-oracle
+    # tests assert on the tail of this instead of the last publish window,
+    # whose handful of groups is too noisy to gate on
+    success_history: list[float] = field(default_factory=list)
 
     def record_rollout(self, result: RolloutResult, problem_key: str | None = None) -> None:
         self.rollouts_completed += 1
@@ -78,6 +82,7 @@ class ActorStats:
             self.problem_success.setdefault(problem_key, []).append(
                 float(result.metrics.success)
             )
+        self.success_history.append(float(result.metrics.success))
 
     def snapshot(self) -> dict[str, Any]:
         """Windowed stats: metric buffers drain on publish so each snapshot
@@ -101,6 +106,9 @@ class ActorStats:
         from .utils import always_or_never_success_stats
 
         out.update(always_or_never_success_stats(self.problem_success))
+        if self.success_history:
+            tail = self.success_history[-max(1, len(self.success_history) // 3) :]
+            out["success_tail_mean"] = sum(tail) / len(tail)
         if self.version_lags:
             for stat, val in calculate_stats(self.version_lags).items():
                 out[f"model_version_lag_{stat}"] = val

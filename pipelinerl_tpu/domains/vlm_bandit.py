@@ -59,7 +59,11 @@ async def generate_vlm_bandit_rollout(
     # image-blind policy can beat 0.5 mean success — the success curve
     # directly measures image-conditional behavior.
     success = 0
-    reward = 0.0
+    # non-byte first token (specials ≥ 256): negative reward so a group with
+    # any valid sibling carries gradient AWAY from the invalid region — an
+    # all-zero-reward collapse would be dropped by zero-advantage filtering
+    # and leave the policy stuck with no learning signal
+    reward = -0.5
     if llm_call.output_token_ids and llm_call.output_token_ids[0] < 256:
         first = llm_call.output_token_ids[0]
         lo = problem["sign"] > 0

@@ -104,6 +104,13 @@ class GenRequest:
     # prompt_ids must contain one image-placeholder token per merged visual
     # token (the HF processor convention the reference feeds vLLM)
     visual: dict | None = None
+    # streaming: called from the ENGINE THREAD as tokens materialize —
+    # cb(token_ids: list[int], logprobs: list[float], finish: str | None).
+    # Tokens arrive once per decode window (not per step); the terminal call
+    # has finish set (and may carry no tokens). Must be fast and non-blocking
+    # (the server bridges it onto the asyncio loop). The reference gets SSE
+    # streaming from vLLM's OpenAI server (SURVEY.md §2.4).
+    stream_callback: Any = None
 
 
 @dataclass
@@ -275,6 +282,7 @@ class InferenceEngine:
         future: Future = Future()
         prompt_len = len(request.prompt_ids)
         if prompt_len == 0 or prompt_len >= self.cfg.max_len:
+            self._notify(request, [], [], "abort")
             future.set_result(
                 GenResult([], [], "abort", self.version, self.version, prompt_len)
             )
@@ -313,6 +321,7 @@ class InferenceEngine:
             self._queue = kept
         did = False
         for request, future in queued_hits:
+            self._notify(request, [], [], "abort")
             future.set_result(
                 GenResult([], [], "abort", self.version, self.version,
                           len(request.prompt_ids))
@@ -705,10 +714,28 @@ class InferenceEngine:
         if finish is not None:
             self._finish_slot(slot, finish)
 
+    @staticmethod
+    def _notify(
+        request: GenRequest,
+        tokens: list[int],
+        logprobs: list[float],
+        finish: str | None,
+    ) -> None:
+        """Invoke a request's stream callback (engine thread); exceptions are
+        logged, never propagated into the scheduling loop."""
+        cb = request.stream_callback
+        if cb is None:
+            return
+        try:
+            cb(tokens, logprobs, finish)
+        except Exception:  # noqa: BLE001 — user callback must not kill the loop
+            logger.exception("stream callback failed for %s", request.request_id)
+
     def _finish_slot(self, slot: int, finish: str) -> None:
         state = self._slots[slot]
         assert state is not None
         self._slots[slot] = None
+        self._notify(state.request, [], [], finish)
         state.future.set_result(
             GenResult(
                 token_ids=state.token_ids,
@@ -805,6 +832,7 @@ class InferenceEngine:
             s.token_ids.append(token)
             s.logprobs.append(float(first_logprobs[i]))
             self.total_generated_tokens += 1
+            self._notify(s.request, [token], [float(first_logprobs[i])], None)
             self._maybe_finish(i, token)
         # vectorized per-slot consume: find the cut (first stop token or
         # length budget), then bulk-extend — the naive token-by-token Python
@@ -833,10 +861,13 @@ class InferenceEngine:
                 cut = budget
                 finish = "length"
             if cut > 0:
-                s.token_ids.extend(col[:cut].tolist())
-                s.logprobs.extend(win_logprobs[:cut, i].tolist())
+                chunk = col[:cut].tolist()
+                chunk_lps = win_logprobs[:cut, i].tolist()
+                s.token_ids.extend(chunk)
+                s.logprobs.extend(chunk_lps)
                 s.last_token = int(col[cut - 1])
                 self.total_generated_tokens += cut
+                self._notify(s.request, chunk, chunk_lps, None)
             if finish is not None:
                 self.speculative_wasted_tokens += n_steps - cut
                 self._finish_slot(i, finish)

@@ -90,6 +90,51 @@ class HTTPLLM(BaseLLM):
             latency=time.monotonic() - start,
         )
 
+    async def astream(
+        self, prompt: Prompt, session: aiohttp.ClientSession | None = None, **overrides
+    ):
+        """Streaming generation (``stream: true`` SSE) — an async generator
+        yielding ``(token_ids, logprobs, text_delta, finish_reason)`` chunks;
+        the terminal chunk has ``finish_reason`` set. The reference's client
+        consumes vLLM's SSE stream the same way (llm.py LLMStream events)."""
+        body = {
+            "model": self.model_name,
+            "messages": prompt.messages,
+            "logprobs": 1,
+            "stream": True,
+            **self.parameters,
+            **overrides,
+        }
+        if prompt.tools:
+            body["tools"] = prompt.tools
+        owns_session = session is None
+        if owns_session:
+            session = aiohttp.ClientSession(timeout=self.timeout)
+        try:
+            async with session.post(
+                f"{self.base_url}/v1/chat/completions", json=body
+            ) as resp:
+                resp.raise_for_status()
+                async for raw in resp.content:
+                    line = raw.decode().strip()
+                    if not line.startswith("data: "):
+                        continue
+                    payload = line[len("data: ") :]
+                    if payload == "[DONE]":
+                        break
+                    import json
+
+                    data = json.loads(payload)
+                    choice = data["choices"][0]
+                    token_ids = [int(t) for t in choice.get("token_ids", [])]
+                    entries = (choice.get("logprobs") or {}).get("content", [])
+                    logprobs = [float(e["logprob"]) for e in entries]
+                    text = choice.get("delta", {}).get("content") or ""
+                    yield token_ids, logprobs, text, choice.get("finish_reason")
+        finally:
+            if owns_session:
+                await session.close()
+
     async def ascore(self, token_ids: Sequence[int]) -> list[float]:
         body = {
             "model": self.model_name,

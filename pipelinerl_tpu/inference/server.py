@@ -78,6 +78,8 @@ class InferenceServer:
                 messages, add_generation_prompt=True, **kwargs
             )
         )
+        if body.get("stream"):
+            return await self._chat_completions_stream(request, body, prompt_ids)
         gen = GenRequest(
             prompt_ids=prompt_ids,
             params=self._sampling_params(body),
@@ -122,6 +124,109 @@ class InferenceServer:
                 },
             }
         )
+
+    async def _chat_completions_stream(
+        self, request: web.Request, body: dict, prompt_ids: list[int]
+    ) -> web.StreamResponse:
+        """SSE streaming (``stream: true``) — OpenAI ``chat.completion.chunk``
+        events, one per decode window, each carrying the window's delta text
+        plus native ``token_ids`` and per-token logprobs. The reference gets
+        this from vLLM's OpenAI server (SURVEY.md §2.4); here the engine's
+        stream_callback bridges decode windows onto the asyncio loop."""
+        loop = asyncio.get_event_loop()
+        queue: asyncio.Queue = asyncio.Queue()
+
+        def on_tokens(tokens: list[int], logprobs: list[float], finish):
+            # engine thread → asyncio loop
+            loop.call_soon_threadsafe(queue.put_nowait, (tokens, logprobs, finish))
+
+        request_id = str(uuid.uuid4())
+        gen = GenRequest(
+            prompt_ids=prompt_ids,
+            params=self._sampling_params(body),
+            request_id=request_id,
+            stream_callback=on_tokens,
+        )
+        future = self.engine.submit(gen)
+
+        resp = web.StreamResponse(
+            headers={
+                "Content-Type": "text/event-stream",
+                "Cache-Control": "no-cache",
+                "Connection": "keep-alive",
+            }
+        )
+        await resp.prepare(request)
+        created = int(time.time())
+        all_ids: list[int] = []
+        sent_text = ""
+
+        def chunk_payload(delta: dict, finish: str | None, extra: dict | None = None) -> bytes:
+            obj = {
+                "id": f"chatcmpl-{request_id}",
+                "object": "chat.completion.chunk",
+                "created": created,
+                "model": self.model_name,
+                "choices": [
+                    {"index": 0, "delta": delta, "finish_reason": finish, **(extra or {})}
+                ],
+            }
+            return f"data: {json.dumps(obj)}\n\n".encode()
+
+        try:
+            await resp.write(chunk_payload({"role": "assistant", "content": ""}, None))
+            while True:
+                tokens, logprobs, finish = await queue.get()
+                if tokens:
+                    all_ids.extend(tokens)
+                    # decode the FULL transcript and diff: per-chunk decode
+                    # would split multi-token glyphs at window boundaries
+                    text = self.tokenizer.decode(all_ids, skip_special_tokens=True)
+                    delta_text, sent_text = text[len(sent_text):], text
+                    await resp.write(
+                        chunk_payload(
+                            {"content": delta_text},
+                            None,
+                            {
+                                "token_ids": [int(t) for t in tokens],
+                                "logprobs": {
+                                    "content": [
+                                        {
+                                            "token": f"token_id:{t}",
+                                            "token_id": int(t),
+                                            "logprob": float(lp),
+                                        }
+                                        for t, lp in zip(tokens, logprobs)
+                                    ]
+                                },
+                            },
+                        )
+                    )
+                if finish is not None:
+                    result = await asyncio.wrap_future(future)
+                    await resp.write(
+                        chunk_payload(
+                            {},
+                            finish,
+                            {
+                                "usage": {
+                                    "prompt_tokens": result.prompt_tokens,
+                                    "completion_tokens": len(result.token_ids),
+                                    "total_tokens": result.prompt_tokens
+                                    + len(result.token_ids),
+                                },
+                                "model_version": result.model_version_start,
+                            },
+                        )
+                    )
+                    break
+            await resp.write(b"data: [DONE]\n\n")
+        finally:
+            if not future.done():
+                # client went away mid-generation: free the slot
+                self.engine.abort(request_id)
+        await resp.write_eof()
+        return resp
 
     async def completions(self, request: web.Request) -> web.Response:
         """Echo+logprobs scoring (the reference's ref-logprob path) and plain

@@ -213,3 +213,82 @@ def test_ess_ingredients():
     assert ratio_sum > 0 and ratio_sq > 0
     ess = ratio_sum**2 / ratio_sq
     assert 0 < ess <= n * (1 + 1e-6)
+
+
+def test_gspo_psum_path_shard_map_parity():
+    """The CP-deadlock-safe psum path (axis_name) must reproduce the
+    single-device GSPO loss AND gradients when the packed row is sharded
+    over a cp mesh axis via shard_map — the reference's ring-attention
+    seq-parallel all-reduce semantics (rl/utils.py:106-208). Segments span
+    shard boundaries, so the per-shard segment sums are partial and the
+    psum is load-bearing."""
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    n_shards = 4
+    L = 32  # 8 tokens per shard
+    rng = np.random.default_rng(5)
+
+    # one packed row, two segments; segment 0 spans shards 0-1, segment 1
+    # spans shards 1-3. Shard-local logprob shifting drops cross-boundary
+    # (logit, target) pairs, so those targets are masked globally too —
+    # matching the reference's contiguous make_slices contract.
+    ids = rng.integers(0, V, L).astype(np.int32)
+    seg = np.zeros(L, np.int32)
+    seg[14:] = 1
+    labels = ids.copy().astype(np.int32)
+    labels[:2] = MASKED_TOKEN_ID
+    labels[14:16] = MASKED_TOKEN_ID
+    for b in (8, 16, 24):  # shard-boundary targets
+        labels[b] = MASKED_TOKEN_ID
+    adv = rng.normal(size=L).astype(np.float32)
+    old_lp = (-0.5 - 0.1 * rng.random(L)).astype(np.float32)
+
+    batch = {
+        "input_ids": jnp.asarray(ids[None]),
+        "labels": jnp.asarray(labels[None]),
+        "segment_ids": jnp.asarray(seg[None]),
+        "advantages": jnp.asarray(adv[None]),
+        "rewards": jnp.zeros((1, L), jnp.float32),
+        "ref_logprobs": jnp.zeros((1, L), jnp.float32),
+        "old_logprobs": jnp.asarray(old_lp[None]),
+        "group_tokens": jnp.full((1, L), 6.0, jnp.float32),
+        "num_labels": jnp.full((1, L), 6.0, jnp.float32),
+        "overflow": jnp.zeros((1, L), jnp.float32),
+    }
+    logits = jnp.asarray(rng.normal(size=(1, L, V)) * 0.3, jnp.float32)
+    cfg = RLLossConfig(policy_loss="gspo", batch_size=2, max_segments=4)
+
+    def global_loss(lg):
+        return rl_loss_from_logits(lg, batch, jnp.zeros(()), 100, cfg)[0]
+
+    loss_ref, grad_ref = jax.value_and_grad(global_loss)(logits)
+
+    mesh = Mesh(np.array(jax.devices()[:n_shards]), ("cp",))
+    shard_specs = {k: P(None, "cp") for k in batch}
+
+    def body(lg, sharded):
+        # each shard computes the FULL loss (segment sums are psum-ed);
+        # stacking and averaging outside counts every local contribution
+        # exactly once under autodiff (psum transposes to psum)
+        loss, _ = rl_loss_from_logits(
+            lg, sharded, jnp.zeros(()), 100, cfg, axis_name="cp"
+        )
+        return loss[None]
+
+    sharded_fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(None, "cp", None), shard_specs),
+        out_specs=P("cp"),
+        check_rep=False,
+    )
+
+    def cp_loss(lg):
+        return jnp.mean(sharded_fn(lg, batch))
+
+    loss_cp, grad_cp = jax.value_and_grad(cp_loss)(logits)
+    np.testing.assert_allclose(float(loss_cp), float(loss_ref), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(grad_cp), np.asarray(grad_ref), rtol=1e-4, atol=1e-6
+    )

@@ -114,3 +114,31 @@ def test_health_and_weight_update(served_engine, tmp_path):
             break
         time.sleep(0.1)
     assert engine.version == 42
+
+
+def test_streaming_chat_completions(served_engine):
+    """SSE streaming: chunk token_ids/logprobs concatenate to exactly the
+    non-streamed GenResult contract, text deltas concatenate to the full
+    decode, and the terminal chunk carries finish_reason + usage."""
+    engine, tokenizer, _ = served_engine
+
+    async def scenario(base):
+        llm = HTTPLLM(base, tokenizer, {"max_tokens": 8, "temperature": 1.0})
+        chunks = []
+        async for chunk in llm.astream(
+            Prompt(messages=[{"role": "user", "content": "stream please"}])
+        ):
+            chunks.append(chunk)
+        return chunks
+
+    chunks = asyncio.run(_serve_and_call(engine, tokenizer, scenario))
+    assert chunks, "no SSE chunks received"
+    token_ids = [t for c in chunks for t in c[0]]
+    logprobs = [lp for c in chunks for lp in c[1]]
+    text = "".join(c[2] for c in chunks)
+    finishes = [c[3] for c in chunks if c[3] is not None]
+    assert finishes and finishes[-1] in ("stop", "length")
+    assert 1 <= len(token_ids) <= 8
+    assert len(logprobs) == len(token_ids)
+    assert all(np.isfinite(lp) and lp <= 0 for lp in logprobs)
+    assert text == tokenizer.decode(token_ids, skip_special_tokens=True)
