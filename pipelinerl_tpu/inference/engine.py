@@ -170,12 +170,14 @@ class InferenceEngine:
         self.eos_token_id = eos_token_id
         self.params = params
         self.version = version
-        # frozen vision tower (models/vision.py); visual requests are refused
-        # unless present. The tower is NOT updated by weight pushes — the
-        # trainer adapts the language trunk only (see STATUS.md VLM notes).
+        # vision tower (models/vision.py); visual requests are refused unless
+        # present. Frozen by default; when the trainer runs with
+        # finetune.train_vision_tower its weight pushes carry a
+        # ``vision_tower`` subtree and update_params refreshes it in-flight.
         self.vision_params = vision_params
         self.vision_cfg = vision_cfg
         self._pending_params: tuple[dict, int] | None = None
+        self._pending_vision: dict | None = None
         self._params_lock = threading.Lock()
 
         S, T = cfg.max_slots, cfg.max_len
@@ -339,13 +341,20 @@ class InferenceEngine:
         """Swap weights between decode steps — no pause, no drain. Under TP
         the incoming tree is resharded onto the engine mesh (a device-to-
         device transfer — the reference's NCCL broadcast plane collapses to
-        this device_put)."""
+        this device_put). A tree carrying a trained ``vision_tower``
+        (finetune.train_vision_tower) also refreshes the engine's tower."""
+        vision_tower = None
+        if "vision_tower" in params:
+            params = dict(params)
+            vision_tower = params.pop("vision_tower")
         if self.mesh is not None:
             from ..parallel import shard_params
 
             params = shard_params(params, self.mesh)
         with self._params_lock:
             self._pending_params = (params, version)
+            if vision_tower is not None:
+                self._pending_vision = vision_tower
         self._work_event.set()
 
     def score_tokens(self, input_ids: Sequence[int], temperature: float = 1.0) -> list[float]:
@@ -422,9 +431,13 @@ class InferenceEngine:
     def _maybe_swap_params(self) -> None:
         with self._params_lock:
             pending = self._pending_params
+            pending_vision = self._pending_vision
             self._pending_params = None
+            self._pending_vision = None
         if pending is not None:
             self.params, self.version = pending
+        if pending_vision is not None:
+            self.vision_params = pending_vision
 
     def _next_rng(self) -> jax.Array:
         self._rng, sub = jax.random.split(self._rng)

@@ -129,9 +129,15 @@ def export_hf(
     params: dict,
     model_cfg: ModelConfig,
     tokenizer: Any | None = None,
+    vision_cfg: Any = None,  # models.vision.VisionConfig, for VLM exports
 ) -> Path:
     """Write HF-format safetensors + config.json to ``out_dir/current``
-    (atomic tmp+rename). Inverse of models/hf_loader.load_hf_model."""
+    (atomic tmp+rename). Inverse of models/hf_loader.load_hf_model. If
+    ``params`` carries a trained ``vision_tower`` (finetune.train_vision_tower),
+    its tensors are written under the Qwen2.5-VL ``visual.*`` names so
+    models/hf_loader.load_hf_vision round-trips them (the patch embed is
+    stored flat [D, patch_dim] — the loader's reshape accepts either the
+    Conv3d or the flat layout)."""
     from safetensors.numpy import save_file
 
     out_dir = Path(out_dir)
@@ -142,6 +148,7 @@ def export_hf(
     tmp.mkdir(parents=True)
 
     np_params = _to_numpy_tree(params)
+    vision_tower = np_params.pop("vision_tower", None)
     tensors: dict[str, np.ndarray] = {}
 
     def put(name: str, arr: np.ndarray, transpose: bool = False):
@@ -178,6 +185,35 @@ def export_hf(
                 transpose=transpose,
             )
 
+    if vision_tower is not None:
+        put("visual.patch_embed.proj.weight", vision_tower["patch_embed"], transpose=True)
+        vb = "visual.blocks.{i}."
+        vmapping = [
+            ("norm1.weight", "ln1", False),
+            ("norm2.weight", "ln2", False),
+            ("attn.qkv.weight", "wqkv", True),
+            ("attn.qkv.bias", "bqkv", False),
+            ("attn.proj.weight", "wo", True),
+            ("attn.proj.bias", "bo", False),
+            ("mlp.gate_proj.weight", "wgate", True),
+            ("mlp.gate_proj.bias", "bgate", False),
+            ("mlp.up_proj.weight", "wup", True),
+            ("mlp.up_proj.bias", "bup", False),
+            ("mlp.down_proj.weight", "wdown", True),
+            ("mlp.down_proj.bias", "bdown", False),
+        ]
+        vlayers = vision_tower["layers"]
+        depth = vlayers["ln1"].shape[0]
+        for i in range(depth):
+            for hf_name, our_name, transpose in vmapping:
+                put(vb.format(i=i) + hf_name, vlayers[our_name][i], transpose=transpose)
+        merger = vision_tower["merger"]
+        put("visual.merger.ln_q.weight", merger["ln"])
+        put("visual.merger.mlp.0.weight", merger["w1"], transpose=True)
+        put("visual.merger.mlp.0.bias", merger["b1"])
+        put("visual.merger.mlp.2.weight", merger["w2"], transpose=True)
+        put("visual.merger.mlp.2.bias", merger["b2"])
+
     # bf16 numpy arrays (ml_dtypes) serialize fine through safetensors.numpy
     save_file(tensors, str(tmp / "model.safetensors"))
 
@@ -203,6 +239,24 @@ def export_hf(
             arch, "llama"
         ),
     }
+    if vision_tower is not None and vision_cfg is not None:
+        # vision_config round-trips through models/hf_loader.load_vision_config
+        config["vision_config"] = {
+            "hidden_size": vision_cfg.hidden_size,
+            "intermediate_size": vision_cfg.intermediate_size,
+            "num_heads": vision_cfg.num_heads,
+            "depth": vision_cfg.depth,
+            "out_hidden_size": vision_cfg.out_hidden_size,
+            "patch_size": vision_cfg.patch_size,
+            "temporal_patch_size": vision_cfg.temporal_patch_size,
+            "spatial_merge_size": vision_cfg.spatial_merge_size,
+            "window_size": vision_cfg.window_size,
+            "fullatt_block_indexes": list(vision_cfg.fullatt_block_indexes),
+            "in_channels": vision_cfg.in_channels,
+            "tokens_per_second": vision_cfg.tokens_per_second,
+        }
+        if model_cfg.image_token_id is not None:
+            config["image_token_id"] = model_cfg.image_token_id
     (tmp / "config.json").write_text(json.dumps(config, indent=2))
     if tokenizer is not None and hasattr(tokenizer, "save_pretrained"):
         tokenizer.save_pretrained(tmp)

@@ -299,7 +299,9 @@ def rl_loss(
     is multiplied by 0 (matched collective/gradient structure across ranks,
     reference finetune_loop.py:784-786). VLM rows pass mrope position rows as
     batch["position_ids"] ([3, B, L]) plus spliced visual tokens."""
-    model_params = {k: v for k, v in params.items() if k != "value_head"}
+    model_params = {
+        k: v for k, v in params.items() if k not in ("value_head", "vision_tower")
+    }
     outs = forward(
         model_params,
         model_cfg,

@@ -133,12 +133,19 @@ class TrainerLoop:
         self.rank = rank
         self.metrics = TrainingMetrics()
         self.params = params
-        # frozen vision tower for VLM rows: visual tokens feed the language
-        # trunk, whose params train; the tower itself is a fixed feature
-        # extractor (the reference trains it end-to-end via DeepSpeed — an
-        # acknowledged gap, see STATUS.md VLM notes)
+        # vision tower for VLM rows. Frozen by default (fixed feature
+        # extractor); with finetune.train_vision_tower the tower joins the
+        # trainable tree as params["vision_tower"] and trains end-to-end like
+        # the reference (DeepSpeed trains the full Qwen2.5-VL, launch.py:63-69)
         self.vision_params = vision_params
         self.vision_cfg = vision_cfg
+        self.train_vision = bool(
+            cfg.finetune.get("train_vision_tower", False)
+        ) and vision_params is not None
+        if self.train_vision:
+            self.params = dict(self.params)
+            self.params["vision_tower"] = vision_params
+            self.vision_params = None  # lives in the trainable tree now
 
         self.samples_per_step = int(cfg.finetune.samples_per_step)
         self.weight_update_interval = int(cfg.finetune.get("weight_update_interval", 1))
@@ -159,6 +166,11 @@ class TrainerLoop:
 
         self.lora_cfg = lora_config_from(cfg.finetune)
         self.frozen_params: dict = {}
+        if self.lora_cfg.enabled and self.train_vision:
+            raise ValueError(
+                "train_vision_tower is incompatible with LoRA (the tower is "
+                "not a low-rank-adaptable matmul set in this design)"
+            )
         if self.lora_cfg.enabled:
             self.frozen_params = self.params
             self.params = init_lora_params(
@@ -180,6 +192,11 @@ class TrainerLoop:
             dp = int(par.get("dp", 1))
             cp = int(par.get("cp", 1))
             tp = int(par.get("tp", 1))
+            if dp * cp * tp > 1 and self.train_vision:
+                raise ValueError(
+                    "train_vision_tower requires an unsharded trainer "
+                    "(VLM rows train at batch 1, reference launch.py:63-69)"
+                )
             if dp * cp * tp > 1:
                 from jax.sharding import NamedSharding, PartitionSpec
 
@@ -264,18 +281,24 @@ class TrainerLoop:
 
         self._grad_pass = jax.jit(grad_pass)
 
+        train_vision = self.train_vision
+
         def grad_pass_vlm(
             params, frozen, vparams, batch, vin, image_mask, step, sentinel
         ):
             from ..models.vision import vision_forward
 
-            embeds = vision_forward(
-                vparams, self.vision_cfg, vin["patches"], vin["hw"],
-                vin["win_seg"], vin["full_seg"], vin["inv_perm"],
-            )  # frozen tower: grads flow only into the language trunk
-
             def loss_fn(p):
                 full = merge_lora(frozen, p, lora_cfg) if lora_cfg.enabled else p
+                # trainable tower: encode INSIDE the differentiated function
+                # so pixel gradients flow into p["vision_tower"]; frozen
+                # tower: vparams is not a grad argument, so the same code
+                # yields a pure feature extractor
+                tower = full["vision_tower"] if train_vision else vparams
+                embeds = vision_forward(
+                    tower, self.vision_cfg, vin["patches"], vin["hw"],
+                    vin["win_seg"], vin["full_seg"], vin["inv_perm"],
+                )
                 return rl_loss(
                     full, model_cfg, self.loss_cfg, batch, step, max_step, sentinel,
                     remat=remat, attn_impl="xla",  # VLM rows are unpacked [1, L]
@@ -335,7 +358,8 @@ class TrainerLoop:
             export_params = {
                 k: v for k, v in export_params.items() if k != "value_head"
             }
-            export_hf(self.checkpoint_dir, export_params, self.model_cfg, tokenizer)
+            export_hf(self.checkpoint_dir, export_params, self.model_cfg,
+                      tokenizer, vision_cfg=self.vision_cfg)
             logger.info(
                 "Saved checkpoint at step %d (%d samples)",
                 self.metrics.completed_steps,
@@ -354,7 +378,8 @@ class TrainerLoop:
             else self.params
         )
         export_params = {k: v for k, v in export_params.items() if k != "value_head"}
-        export_hf(self.checkpoint_dir, export_params, self.model_cfg, tokenizer)
+        export_hf(self.checkpoint_dir, export_params, self.model_cfg,
+                  tokenizer, vision_cfg=self.vision_cfg)
         logger.info(
             "Saved checkpoint at step %d (%d samples)",
             self.metrics.completed_steps,
@@ -437,7 +462,9 @@ class TrainerLoop:
         sizes), splice at placeholder positions, mrope position rows."""
         from ..models.vision import prepare_vision_inputs
 
-        if self.vision_params is None or self.vision_cfg is None:
+        if self.vision_cfg is None or (
+            self.vision_params is None and not self.train_vision
+        ):
             raise ValueError("multimodal batch but trainer has no vision tower")
         if self.dp > 1 or jax.process_count() > 1:
             raise ValueError(
@@ -461,7 +488,7 @@ class TrainerLoop:
         grads, loss, metrics = self._grad_pass_vlm(
             self.params,
             self.frozen_params,
-            self.vision_params,
+            {} if self.train_vision else self.vision_params,
             arrays,
             {k: jnp.asarray(v) for k, v in vin_np.items()},
             image_mask,
