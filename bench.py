@@ -189,7 +189,14 @@ def main() -> None:
     )
     counters = engine.perf_counters()
     log(f"engine counters: {counters}")
+    decode_impl = engine.decode_attn_impl
     engine.stop()
+    del engine
+
+    # trainer-side throughput: the reference's headline metric is
+    # throughput/tokens_perGPU_per_sec (finetune_loop.py:882-905) — one
+    # packed [1, L] REINFORCE grad+update step on the same 0.5B model
+    train_tok_per_sec, train_mfu = bench_train_step(params, model_cfg)
 
     print(
         json.dumps(
@@ -204,11 +211,81 @@ def main() -> None:
                 "continuous_stream_tokens_per_sec": round(stream_tok_per_sec, 1),
                 "warmup_compile_s": round(warmup_s, 1),
                 "speculation_waste_frac": round(counters["speculation_waste_frac"], 4),
-                "decode_attn_impl": engine.decode_attn_impl,
+                "decode_attn_impl": decode_impl,
+                "train_tokens_per_sec_per_chip": round(train_tok_per_sec, 1),
+                "train_mfu": round(train_mfu, 4),
             }
         ),
         flush=True,
     )
+
+
+def bench_train_step(params, model_cfg) -> tuple[float, float]:
+    """Packed-sequence RL grad+optimizer step throughput (tokens/s/chip) and
+    training MFU on the bench model. Packed [1, L] row, REINFORCE loss,
+    adamw, remat — the trainer's hot path (train/trainer.py grad_pass)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from pipelinerl_tpu.train.rl_loss import RLLossConfig, rl_loss
+
+    L_SEQ = int(os.environ.get("BENCH_TRAIN_SEQLEN", 4096))
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    loss_cfg = RLLossConfig(policy_loss="reinforce", batch_size=8, max_segments=64)
+    optimizer = optax.adamw(1e-5)
+    opt_state = jax.jit(optimizer.init)(params)
+
+    rng = np.random.default_rng(1)
+    ids = rng.integers(1, 100_000, (1, L_SEQ)).astype(np.int32)
+    seg = (np.arange(L_SEQ) // (L_SEQ // 8)).astype(np.int32)[None]
+    pos = (np.arange(L_SEQ) % (L_SEQ // 8)).astype(np.int32)[None]
+    batch = {
+        "input_ids": jnp.asarray(ids),
+        "labels": jnp.asarray(ids),  # every position contributes loss
+        "position_ids": jnp.asarray(pos),
+        "segment_ids": jnp.asarray(seg),
+        "rewards": jnp.ones((1, L_SEQ), jnp.float32),
+        "advantages": jnp.ones((1, L_SEQ), jnp.float32),
+        "ref_logprobs": jnp.zeros((1, L_SEQ), jnp.float32),
+        "old_logprobs": jnp.full((1, L_SEQ), -1.0, jnp.float32),
+        "group_tokens": jnp.full((1, L_SEQ), float(L_SEQ // 8), jnp.float32),
+        "num_labels": jnp.full((1, L_SEQ), float(L_SEQ // 8), jnp.float32),
+        "overflow": jnp.zeros((1, L_SEQ), jnp.float32),
+    }
+
+    @jax.jit
+    def train_step(p, o, b):
+        def loss_fn(pp):
+            return rl_loss(
+                pp, model_cfg, loss_cfg, b, jnp.zeros(()), 100, jnp.zeros(()),
+                remat=True,
+            )
+
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(p)
+        updates, o2 = optimizer.update(grads, o, p)
+        return optax.apply_updates(p, updates), o2, loss
+
+    t0 = time.monotonic()
+    params, opt_state, loss = train_step(params, opt_state, batch)
+    jax.block_until_ready(loss)
+    log(f"train-step compile took {time.monotonic() - t0:.1f}s")
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.monotonic()
+        params, opt_state, loss = train_step(params, opt_state, batch)
+        jax.block_until_ready(loss)
+        best = min(best, time.monotonic() - t0)
+    tok_per_sec = L_SEQ / best
+    # fwd 2 + bwd 4 ≈ 6 × params FLOPs per token
+    mfu = tok_per_sec * 6 * n_params / (V5E_BF16_TFLOPS * 1e12)
+    log(
+        f"train step: {1000 * best:.1f} ms @ L={L_SEQ} → {tok_per_sec:.0f} "
+        f"tokens/s/chip (train MFU {100 * mfu:.1f}%)"
+    )
+    return tok_per_sec, mfu
 
 
 if __name__ == "__main__":

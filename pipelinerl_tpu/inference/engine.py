@@ -80,6 +80,10 @@ class EngineConfig:
     # jitted programs (the reference's vLLM tensor-parallel-size,
     # conf/base.yaml:70)
     tp: int = 1
+    # device PRNG for sampling: "rbg" (TPU-native generator — far cheaper
+    # per step than threefry's bit arithmetic at [S, V] Gumbel draws) or
+    # "threefry2x32" (JAX default, bit-reproducible across backends)
+    rng_impl: str = "rbg"
 
 
 @dataclass
@@ -258,7 +262,7 @@ class InferenceEngine:
             ),
             donate_argnums=(1, 2),
         )
-        self._rng_device = jax.random.key(cfg.seed + 1)
+        self._rng_device = jax.random.key(cfg.seed + 1, impl=cfg.rng_impl)
         self._windows: deque[_Window] = deque()
         self._gen_counter = 0
         self._abort_ids: set[str] = set()

@@ -38,16 +38,28 @@ def sample_fast(
     rng: jax.Array,
     temperature: jnp.ndarray,  # [S]
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Temperature-only sampling. Returns (tokens [S], logprobs [S])."""
+    """Temperature-only sampling. Returns (tokens [S], logprobs [S]).
+
+    Decode-loop hot path: every extra elementwise pass over the [S, V]
+    logits costs ~40 MB of HBM traffic per step, so the Gumbel argmax and
+    both logprob reductions reuse ONE scaled tensor instead of calling
+    jax.random.categorical + a separate log-softmax (measured 0.32 ms/step
+    of the 4.0 ms decode step at S=64, V=152k on v5e — scripts/probe_window)."""
     greedy = temperature < _MIN_TEMP
     temp = jnp.maximum(temperature, _MIN_TEMP)[:, None]
     scaled = logits / temp
-    sampled = jax.random.categorical(rng, scaled, axis=-1)
-    argmax = jnp.argmax(logits, axis=-1)
-    tokens = jnp.where(greedy, argmax, sampled)
-    logprobs = jnp.take_along_axis(
-        _scaled_logprobs(logits, temperature), tokens[:, None], axis=-1
-    )[:, 0]
+    gumbel = jax.random.gumbel(rng, scaled.shape, dtype=scaled.dtype)
+    sampled = jnp.argmax(scaled + gumbel, axis=-1)
+    # greedy = argmax(logits) = argmax(scaled): positive temperature scaling
+    # preserves the ordering, so the sampled-path tensor is reused
+    tokens = jnp.where(greedy, jnp.argmax(scaled, axis=-1), sampled)
+    # reported logprob: log softmax(logits / report_temp); greedy slots
+    # report the unscaled (T=1) distribution (_scaled_logprobs contract)
+    sel_scaled = jnp.take_along_axis(scaled, tokens[:, None], axis=-1)[:, 0]
+    lse_scaled = jax.nn.logsumexp(scaled, axis=-1)
+    sel_raw = jnp.take_along_axis(logits, tokens[:, None], axis=-1)[:, 0]
+    lse_raw = jax.nn.logsumexp(logits, axis=-1)
+    logprobs = jnp.where(greedy, sel_raw - lse_raw, sel_scaled - lse_scaled)
     return tokens, logprobs
 
 
