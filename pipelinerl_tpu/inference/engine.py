@@ -84,6 +84,16 @@ class EngineConfig:
     # per step than threefry's bit arithmetic at [S, V] Gumbel draws) or
     # "threefry2x32" (JAX default, bit-reproducible across backends)
     rng_impl: str = "rbg"
+    # KV layout: "slab" reserves a contiguous [S, max_len] cache per slot;
+    # "paged" allocates fixed-size pages from a shared pool (the vLLM paged
+    # attention role, SURVEY.md §2.4) — HBM holds only tokens that exist,
+    # GRPO forks share the prompt's full pages, and admission reserves
+    # prompt+max_tokens pages up front (no mid-flight OOM / preemption)
+    kv_layout: str = "slab"
+    kv_block_size: int = 128  # tokens per page
+    # pool size in pages; None sizes it to slab parity (S × ⌈max_len/page⌉) —
+    # set smaller to cap KV memory or larger to admit more long-tail work
+    kv_pool_blocks: int | None = None
 
 
 @dataclass
@@ -192,6 +202,25 @@ class InferenceEngine:
         T_alloc = T + max(1, cfg.decode_window)
         cache_shape = (L, S, T_alloc, K, Dh)
 
+        self.paged = cfg.kv_layout == "paged"
+        if self.paged:
+            if cfg.tp > 1:
+                raise ValueError("kv_layout=paged does not support tp>1 yet")
+            if vision_params is not None:
+                raise ValueError("kv_layout=paged does not support VLM yet")
+            from .block_pool import BlockPool
+
+            BT = cfg.kv_block_size
+            maxb = -(-T_alloc // BT)
+            NB = cfg.kv_pool_blocks or S * maxb
+            self.block_pool = BlockPool(
+                n_blocks=NB, block_size=BT, max_blocks_per_slot=maxb, n_slots=S
+            )
+            self.k_pool = jnp.zeros((L, NB, BT, K, Dh), cfg.cache_dtype)
+            self.v_pool = jnp.zeros((L, NB, BT, K, Dh), cfg.cache_dtype)
+            # per-slot page capacity in tokens (reserved at admission)
+            self._slot_capacity = np.zeros(S, np.int64)
+
         self.mesh = None
         if cfg.tp > 1:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -206,11 +235,12 @@ class InferenceEngine:
                 else P()  # too few kv heads: replicate the cache
             )
             self._cache_sharding = NamedSharding(self.mesh, cache_spec)
-        self.k_cache = jnp.zeros(cache_shape, cfg.cache_dtype)
-        self.v_cache = jnp.zeros(cache_shape, cfg.cache_dtype)
-        if self.mesh is not None:
-            self.k_cache = jax.device_put(self.k_cache, self._cache_sharding)
-            self.v_cache = jax.device_put(self.v_cache, self._cache_sharding)
+        if not self.paged:
+            self.k_cache = jnp.zeros(cache_shape, cfg.cache_dtype)
+            self.v_cache = jnp.zeros(cache_shape, cfg.cache_dtype)
+            if self.mesh is not None:
+                self.k_cache = jax.device_put(self.k_cache, self._cache_sharding)
+                self.v_cache = jax.device_put(self.v_cache, self._cache_sharding)
         self.cache_lens = jnp.zeros((S,), jnp.int32)
 
         self._slots: list[_Slot | None] = [None] * S
@@ -248,20 +278,30 @@ class InferenceEngine:
                 else "xla"
             )
         self.decode_attn_impl = decode_attn
-        self._decode_fast = jax.jit(
-            partial(
-                _decode_window_fn, model_cfg, False, window,
-                attn_impl=decode_attn,
-            ),
-            donate_argnums=(1, 2),
-        )
-        self._decode_masked = jax.jit(
-            partial(
-                _decode_window_fn, model_cfg, True, window,
-                attn_impl=decode_attn,
-            ),
-            donate_argnums=(1, 2),
-        )
+        if self.paged:
+            self._decode_fast = jax.jit(
+                partial(_decode_window_paged_fn, model_cfg, False, window),
+                donate_argnums=(1, 2),
+            )
+            self._decode_masked = jax.jit(
+                partial(_decode_window_paged_fn, model_cfg, True, window),
+                donate_argnums=(1, 2),
+            )
+        else:
+            self._decode_fast = jax.jit(
+                partial(
+                    _decode_window_fn, model_cfg, False, window,
+                    attn_impl=decode_attn,
+                ),
+                donate_argnums=(1, 2),
+            )
+            self._decode_masked = jax.jit(
+                partial(
+                    _decode_window_fn, model_cfg, True, window,
+                    attn_impl=decode_attn,
+                ),
+                donate_argnums=(1, 2),
+            )
         self._rng_device = jax.random.key(cfg.seed + 1, impl=cfg.rng_impl)
         self._windows: deque[_Window] = deque()
         self._gen_counter = 0
@@ -276,9 +316,16 @@ class InferenceEngine:
         # device; fetched as row 0 of the packed window output (zero extra
         # device->host round trips per admission)
         self.first_info = jnp.zeros((S, 2), jnp.int32)
-        self._prefill = jax.jit(
-            partial(_prefill_fn, model_cfg, cfg.attn_impl), donate_argnums=(1, 2, 3, 4)
-        )
+        if self.paged:
+            self._prefill = jax.jit(
+                partial(_prefill_paged_fn, model_cfg, cfg.attn_impl),
+                donate_argnums=(1, 2, 3, 4),
+            )
+        else:
+            self._prefill = jax.jit(
+                partial(_prefill_fn, model_cfg, cfg.attn_impl),
+                donate_argnums=(1, 2, 3, 4),
+            )
         self._score = jax.jit(partial(_score_fn, model_cfg, cfg.attn_impl))
 
     # ------------------------------------------------------------------
@@ -412,6 +459,14 @@ class InferenceEngine:
             "aborted_requests": self.aborted_requests,
             "num_active": self.num_active,
             "num_pending": self.num_pending,
+            **(
+                {
+                    "kv_pages_free": self.block_pool.free_blocks,
+                    "kv_pages_total": self.block_pool.n_blocks,
+                }
+                if self.paged
+                else {}
+            ),
         }
 
     # ------------------------------------------------------------------
@@ -468,6 +523,25 @@ class InferenceEngine:
             pairs = [self._queue.popleft() for _ in range(take)]
         if not pairs:
             return False
+        if self.paged:
+            # FIFO fit check against the page pool: admit the longest prefix
+            # of the queue whose reservations (prompt + max_tokens + window,
+            # forks conservatively counted like primaries) fit; requeue the
+            # rest in order — admission never OOMs mid-flight
+            budget = self.block_pool.free_blocks
+            fit = 0
+            for request, _ in pairs:
+                need = self.block_pool.blocks_for(self._reserve_tokens(request))
+                if need > budget:
+                    break
+                budget -= need
+                fit += 1
+            if fit < len(pairs):
+                with self._queue_lock:
+                    self._queue.extendleft(reversed(pairs[fit:]))
+                pairs = pairs[:fit]
+            if not pairs:
+                return False
         # cluster identical prompts (insertion-ordered); one primary each.
         # VLM requests cluster on (prompt, image bytes) — a GRPO group shares
         # one image, so siblings still ride the KV fork
@@ -508,6 +582,14 @@ class InferenceEngine:
                 pos += batch
         return True
 
+    def _reserve_tokens(self, request: GenRequest) -> int:
+        """Pages reserved at admission: the prompt, the request's own token
+        budget, and one window of speculative overshoot."""
+        n = len(request.prompt_ids)
+        max_new = min(request.params.max_tokens, self.cfg.max_len - n)
+        return min(n + max_new + max(1, self.cfg.decode_window),
+                   self.cfg.max_len + max(1, self.cfg.decode_window))
+
     def _fork_fn_for(self, n_forks: int):
         fn = self._fork_fns.get(n_forks)
         if fn is None:
@@ -534,25 +616,78 @@ class InferenceEngine:
         for f, (request, _) in enumerate(siblings):
             p = request.params
             temps[f], top_p[f], top_k[f] = p.temperature, p.top_p, p.top_k
-        (
-            self.k_cache,
-            self.v_cache,
-            self.cache_lens,
-            self.first_info,
-            self._rng_device,
-        ) = self._fork_fn_for(F)(
-            self.k_cache,
-            self.v_cache,
-            self.cache_lens,
-            self.first_info,
-            logits_row,
-            jnp.asarray(src_slot, jnp.int32),
-            jnp.asarray(np.asarray(dst_slots, np.int32)),
-            self._rng_device,
-            jnp.asarray(temps),
-            jnp.asarray(top_p),
-            jnp.asarray(top_k),
-        )
+        if self.paged:
+            # full prompt pages are SHARED (refcounted); only a partial tail
+            # page is copied per sibling, then each sibling reserves its own
+            # decode pages — the admission fit check already counted them
+            n_prompt = len(siblings[0][0].prompt_ids)
+            tail_pages = []
+            for (request, _), dst in zip(siblings, dst_slots):
+                tail, shared_tokens = self.block_pool.fork(src_slot, dst, n_prompt)
+                self.block_pool.extend(dst, self._reserve_tokens(request))
+                self._slot_capacity[dst] = self._reserve_tokens(request)
+                if tail.size:
+                    tail_pages.append(int(tail[0]))
+            if tail_pages:
+                src_tail = int(
+                    self.block_pool.table[
+                        src_slot, n_prompt // self.cfg.kv_block_size
+                    ]
+                )
+                key = ("copy", len(tail_pages))
+                fn = self._fork_fns.get(key)
+                if fn is None:
+                    fn = jax.jit(
+                        partial(_copy_pages_fn, len(tail_pages)),
+                        donate_argnums=(0, 1),
+                    )
+                    self._fork_fns[key] = fn
+                self.k_pool, self.v_pool = fn(
+                    self.k_pool,
+                    self.v_pool,
+                    jnp.asarray(src_tail, jnp.int32),
+                    jnp.asarray(np.asarray(tail_pages, np.int32)),
+                )
+            key = ("sample", F)
+            fn = self._fork_fns.get(key)
+            if fn is None:
+                fn = jax.jit(partial(_fork_sample_fn, F), donate_argnums=(0, 1))
+                self._fork_fns[key] = fn
+            (
+                self.cache_lens,
+                self.first_info,
+                self._rng_device,
+            ) = fn(
+                self.cache_lens,
+                self.first_info,
+                logits_row,
+                jnp.asarray(src_slot, jnp.int32),
+                jnp.asarray(np.asarray(dst_slots, np.int32)),
+                self._rng_device,
+                jnp.asarray(temps),
+                jnp.asarray(top_p),
+                jnp.asarray(top_k),
+            )
+        else:
+            (
+                self.k_cache,
+                self.v_cache,
+                self.cache_lens,
+                self.first_info,
+                self._rng_device,
+            ) = self._fork_fn_for(F)(
+                self.k_cache,
+                self.v_cache,
+                self.cache_lens,
+                self.first_info,
+                logits_row,
+                jnp.asarray(src_slot, jnp.int32),
+                jnp.asarray(np.asarray(dst_slots, np.int32)),
+                self._rng_device,
+                jnp.asarray(temps),
+                jnp.asarray(top_p),
+                jnp.asarray(top_k),
+            )
         for (request, future), slot in zip(siblings, dst_slots):
             n = len(request.prompt_ids)
             self.prefill_reused_tokens += n
@@ -678,27 +813,58 @@ class InferenceEngine:
             slots[b] = slot
             p = request.params
             temps[b], top_p[b], top_k[b] = p.temperature, p.top_p, p.top_k
-        (
-            self.k_cache,
-            self.v_cache,
-            self.cache_lens,
-            self.first_info,
-            last_logits,
-            self._rng_device,
-        ) = self._prefill(
-            self.params,
-            self.k_cache,
-            self.v_cache,
-            self.cache_lens,
-            self.first_info,
-            jnp.asarray(padded),
-            jnp.asarray(lengths),
-            jnp.asarray(slots),
-            self._rng_device,
-            jnp.asarray(temps),
-            jnp.asarray(top_p),
-            jnp.asarray(top_k),
-        )
+        if self.paged:
+            # reserve every page the request can ever touch up front
+            # (_admit's fit check guarantees this succeeds)
+            for b, (slot, request, _, _, _) in enumerate(group):
+                reserve = self._reserve_tokens(request)
+                self.block_pool.allocate(slot, reserve)
+                self._slot_capacity[slot] = reserve
+            table_rows = self.block_pool.table[slots]
+            (
+                self.k_pool,
+                self.v_pool,
+                self.cache_lens,
+                self.first_info,
+                last_logits,
+                self._rng_device,
+            ) = self._prefill(
+                self.params,
+                self.k_pool,
+                self.v_pool,
+                self.cache_lens,
+                self.first_info,
+                jnp.asarray(padded),
+                jnp.asarray(lengths),
+                jnp.asarray(slots),
+                jnp.asarray(table_rows),
+                self._rng_device,
+                jnp.asarray(temps),
+                jnp.asarray(top_p),
+                jnp.asarray(top_k),
+            )
+        else:
+            (
+                self.k_cache,
+                self.v_cache,
+                self.cache_lens,
+                self.first_info,
+                last_logits,
+                self._rng_device,
+            ) = self._prefill(
+                self.params,
+                self.k_cache,
+                self.v_cache,
+                self.cache_lens,
+                self.first_info,
+                jnp.asarray(padded),
+                jnp.asarray(lengths),
+                jnp.asarray(slots),
+                self._rng_device,
+                jnp.asarray(temps),
+                jnp.asarray(top_p),
+                jnp.asarray(top_k),
+            )
         for b, (slot, request, future, siblings, sibling_slots) in enumerate(group):
             n = len(request.prompt_ids)
             self.total_prefill_tokens += n
@@ -752,6 +918,12 @@ class InferenceEngine:
         state = self._slots[slot]
         assert state is not None
         self._slots[slot] = None
+        if self.paged:
+            # safe while windows are in flight: they captured the table at
+            # dispatch and anything written to reallocated pages lands before
+            # (device program order) the new occupant's prefill
+            self.block_pool.release(slot)
+            self._slot_capacity[slot] = 0
         self._notify(state.request, [], [], finish)
         state.future.set_result(
             GenResult(
@@ -802,27 +974,52 @@ class InferenceEngine:
         pending_mask[pending] = True
 
         fn = self._decode_masked if needs_masking else self._decode_fast
-        (
-            packed,
-            self.k_cache,
-            self.v_cache,
-            self.cache_lens,
-            self._rng_device,
-        ) = fn(
-            self.params,
-            self.k_cache,
-            self.v_cache,
-            jnp.asarray(tokens),
-            jnp.asarray(active),
-            jnp.asarray(pending_mask),
-            self.first_info,
-            self.cache_lens,
-            jnp.asarray(self._pos_delta),
-            self._rng_device,
-            jnp.asarray(temperature),
-            jnp.asarray(top_p),
-            jnp.asarray(top_k),
-        )
+        if self.paged:
+            (
+                packed,
+                self.k_pool,
+                self.v_pool,
+                self.cache_lens,
+                self._rng_device,
+            ) = fn(
+                self.params,
+                self.k_pool,
+                self.v_pool,
+                jnp.asarray(tokens),
+                jnp.asarray(active),
+                jnp.asarray(pending_mask),
+                self.first_info,
+                self.cache_lens,
+                jnp.asarray(self._pos_delta),
+                self._rng_device,
+                jnp.asarray(temperature),
+                jnp.asarray(top_p),
+                jnp.asarray(top_k),
+                jnp.asarray(self.block_pool.table),
+                jnp.asarray(self._slot_capacity.astype(np.int32)),
+            )
+        else:
+            (
+                packed,
+                self.k_cache,
+                self.v_cache,
+                self.cache_lens,
+                self._rng_device,
+            ) = fn(
+                self.params,
+                self.k_cache,
+                self.v_cache,
+                jnp.asarray(tokens),
+                jnp.asarray(active),
+                jnp.asarray(pending_mask),
+                self.first_info,
+                self.cache_lens,
+                jnp.asarray(self._pos_delta),
+                self._rng_device,
+                jnp.asarray(temperature),
+                jnp.asarray(top_p),
+                jnp.asarray(top_k),
+            )
         self.windows_dispatched += 1
         self.window_slots_dispatched += int(active.sum())
         self._windows.append(_Window(packed, active, gens, pending))
@@ -1011,6 +1208,25 @@ def _decode_window_fn(
     return packed, k_cache, v_cache, cache_lens, rng
 
 
+def _sample_first_tokens(
+    first_info, logits, lengths, slots, rng, temperature, top_p, top_k
+):
+    """Sample each prefilled row's first token on device; returns the
+    updated first_info plus the rows' last-position logits (so identical-
+    prompt siblings can sample their own first token after a KV fork
+    without re-running the prompt, _fork_fn)."""
+    last_logits = jnp.take_along_axis(
+        logits, (lengths - 1)[:, None, None], axis=1
+    )[:, 0]  # [B, V]
+    rng, sub = jax.random.split(rng)
+    tokens, logprobs = sample_masked(last_logits, sub, temperature, top_p, top_k)
+    lp_bits = jax.lax.bitcast_convert_type(logprobs.astype(jnp.float32), jnp.int32)
+    first_info = first_info.at[slots].set(
+        jnp.stack([tokens.astype(jnp.int32), lp_bits], axis=-1)
+    )
+    return first_info, last_logits, rng
+
+
 def _prefill_commit(
     k_cache, v_cache, cache_lens, first_info,
     logits, k_new, v_new, lengths, slots, rng, temperature, top_p, top_k,
@@ -1028,18 +1244,9 @@ def _prefill_commit(
             v_cache, v_block[:, b : b + 1], (0, slots[b], 0, 0, 0)
         )
     cache_lens = cache_lens.at[slots].set(lengths)
-
-    last_logits = jnp.take_along_axis(
-        logits, (lengths - 1)[:, None, None], axis=1
-    )[:, 0]  # [B, V]
-    rng, sub = jax.random.split(rng)
-    tokens, logprobs = sample_masked(last_logits, sub, temperature, top_p, top_k)
-    lp_bits = jax.lax.bitcast_convert_type(logprobs.astype(jnp.float32), jnp.int32)
-    first_info = first_info.at[slots].set(
-        jnp.stack([tokens.astype(jnp.int32), lp_bits], axis=-1)
+    first_info, last_logits, rng = _sample_first_tokens(
+        first_info, logits, lengths, slots, rng, temperature, top_p, top_k
     )
-    # last_logits returned so identical-prompt siblings can sample their own
-    # first token after a KV fork without re-running the prompt (_fork_fn)
     return k_cache, v_cache, cache_lens, first_info, last_logits, rng
 
 
@@ -1153,6 +1360,181 @@ def _fork_fn(
         jnp.stack([tokens.astype(jnp.int32), lp_bits], axis=-1)
     )
     return k_cache, v_cache, cache_lens, first_info, rng
+
+
+def _decode_window_paged_fn(
+    model_cfg: ModelConfig,
+    use_masking: bool,
+    n_steps: int,
+    params: dict,
+    k_pool: jnp.ndarray,  # [L, NB, BT, K, Dh] page pools
+    v_pool: jnp.ndarray,
+    tokens: jnp.ndarray,  # [S]
+    active: jnp.ndarray,  # [S] bool
+    pending_mask: jnp.ndarray,  # [S] bool
+    first_info: jnp.ndarray,  # [S, 2]
+    cache_lens: jnp.ndarray,  # [S]
+    pos_delta: jnp.ndarray,  # [S]
+    rng: jax.Array,
+    temperature: jnp.ndarray,
+    top_p: jnp.ndarray,
+    top_k: jnp.ndarray,
+    block_table: jnp.ndarray,  # [S, MAXB] — host snapshot at dispatch
+    capacity: jnp.ndarray,  # [S] — reserved tokens per slot
+):
+    """Paged-layout decode window: same staged-band scan as
+    ``_decode_window_fn`` but attention reads the shared page pool through
+    the block table, and the window-end merge appends through the table
+    (ops/paged_attention.paged_append). Inactive slots append nothing —
+    their table rows may already be released."""
+    from ..ops.paged_attention import paged_append, paged_decode_attention
+
+    S = tokens.shape[0]
+    BT = k_pool.shape[2]
+    MAXB = block_table.shape[1]
+    L, K, Dh = k_pool.shape[0], k_pool.shape[3], k_pool.shape[4]
+    tokens = jnp.where(pending_mask, first_info[:, 0], tokens)
+    base_lens = cache_lens
+
+    def paged_attn(q, k, v, kc, vc, lens, ks, vs, step):
+        return paged_decode_attention(
+            q, k, v, kc, vc, block_table, lens, ks, vs, step
+        )
+
+    k_staged = jnp.zeros((L, n_steps, S, K, Dh), k_pool.dtype)
+    v_staged = jnp.zeros((L, n_steps, S, K, Dh), v_pool.dtype)
+
+    def body(carry, step):
+        tokens, k_staged, v_staged, rng = carry
+        rng, sub = jax.random.split(rng)
+        positions = jnp.minimum(base_lens + step, MAXB * BT - 1) + pos_delta
+        logits, k_new, v_new = decode_step_staged(
+            params, model_cfg, tokens, positions, k_pool, v_pool,
+            base_lens, k_staged, v_staged, step, attn_impl=paged_attn,
+        )
+        k_staged = jax.lax.dynamic_update_slice(
+            k_staged, k_new.astype(k_staged.dtype)[:, None], (0, step, 0, 0, 0)
+        )
+        v_staged = jax.lax.dynamic_update_slice(
+            v_staged, v_new.astype(v_staged.dtype)[:, None], (0, step, 0, 0, 0)
+        )
+        if use_masking:
+            new_tokens, logprobs = sample_masked(logits, sub, temperature, top_p, top_k)
+        else:
+            new_tokens, logprobs = sample_fast(logits, sub, temperature)
+        new_tokens = jnp.where(active, new_tokens, tokens)
+        return (new_tokens, k_staged, v_staged, rng), (new_tokens, logprobs)
+
+    (tokens, k_staged, v_staged, rng), (win_tokens, win_logprobs) = jax.lax.scan(
+        body,
+        (tokens, k_staged, v_staged, rng),
+        jnp.arange(n_steps, dtype=jnp.int32),
+    )
+    count = jnp.where(active, n_steps, 0).astype(jnp.int32)
+    merge = jax.vmap(
+        lambda pool, staged: paged_append(
+            pool, staged.transpose(1, 0, 2, 3), block_table, base_lens, count=count
+        )
+    )
+    k_pool = merge(k_pool, k_staged)
+    v_pool = merge(v_pool, v_staged)
+    cache_lens = jnp.where(
+        active, jnp.minimum(base_lens + n_steps, capacity - 1), base_lens
+    )
+    lp_bits = jax.lax.bitcast_convert_type(win_logprobs.astype(jnp.float32), jnp.int32)
+    tok_rows = jnp.concatenate([first_info[None, :, 0], win_tokens], axis=0)
+    lp_rows = jnp.concatenate([first_info[None, :, 1], lp_bits], axis=0)
+    packed = jnp.stack([tok_rows, lp_rows])  # [2, N+1, S]
+    return packed, k_pool, v_pool, cache_lens, rng
+
+
+def _prefill_paged_fn(
+    model_cfg: ModelConfig,
+    attn_impl: str,
+    params: dict,
+    k_pool: jnp.ndarray,  # [L, NB, BT, K, Dh]
+    v_pool: jnp.ndarray,
+    cache_lens: jnp.ndarray,  # [S]
+    first_info: jnp.ndarray,  # [S, 2]
+    input_ids: jnp.ndarray,  # [B, P]
+    lengths: jnp.ndarray,  # [B]
+    slots: jnp.ndarray,  # [B]
+    table_rows: jnp.ndarray,  # [B, MAXB] — the admitted rows' fresh pages
+    rng: jax.Array,
+    temperature: jnp.ndarray,
+    top_p: jnp.ndarray,
+    top_k: jnp.ndarray,
+):
+    """Paged prefill: forward as in ``_prefill_fn``, then append each row's
+    prompt K/V into its freshly allocated pages."""
+    from ..ops.paged_attention import paged_append
+
+    B, P = input_ids.shape
+    positions = jnp.broadcast_to(jnp.arange(P)[None, :], (B, P))
+    segments = jnp.zeros((B, P), jnp.int32)
+    logits, (k_new, v_new) = forward(
+        params, model_cfg, input_ids, positions, segments, return_kv=True,
+        attn_impl=attn_impl,
+    )
+    zero = jnp.zeros_like(lengths)
+    write = jax.vmap(
+        lambda pool, rows: paged_append(
+            pool, rows.astype(pool.dtype), table_rows, zero, count=lengths
+        )
+    )
+    k_pool = write(k_pool, k_new)  # k_new: [L, B, P, K, Dh]
+    v_pool = write(v_pool, v_new)
+    cache_lens = cache_lens.at[slots].set(lengths)
+    first_info, last_logits, rng = _sample_first_tokens(
+        first_info, logits, lengths, slots, rng, temperature, top_p, top_k
+    )
+    return k_pool, v_pool, cache_lens, first_info, last_logits, rng
+
+
+def _copy_pages_fn(
+    n_forks: int,
+    k_pool: jnp.ndarray,  # [L, NB, BT, K, Dh]
+    v_pool: jnp.ndarray,
+    src_page: jnp.ndarray,  # scalar int32
+    dst_pages: jnp.ndarray,  # [F]
+):
+    """Copy one physical page to F destinations (the fork's partial-tail
+    copy — full pages are shared by refcount, block_pool.fork)."""
+    row_k = jax.lax.dynamic_slice_in_dim(k_pool, src_page, 1, axis=1)
+    row_v = jax.lax.dynamic_slice_in_dim(v_pool, src_page, 1, axis=1)
+    for f in range(n_forks):
+        k_pool = jax.lax.dynamic_update_slice_in_dim(
+            k_pool, row_k, dst_pages[f], axis=1
+        )
+        v_pool = jax.lax.dynamic_update_slice_in_dim(
+            v_pool, row_v, dst_pages[f], axis=1
+        )
+    return k_pool, v_pool
+
+
+def _fork_sample_fn(
+    n_forks: int,
+    cache_lens: jnp.ndarray,  # [S]
+    first_info: jnp.ndarray,  # [S, 2]
+    last_logits: jnp.ndarray,  # [V]
+    src: jnp.ndarray,  # scalar
+    dsts: jnp.ndarray,  # [F]
+    rng: jax.Array,
+    temperature: jnp.ndarray,  # [F]
+    top_p: jnp.ndarray,
+    top_k: jnp.ndarray,
+):
+    """Fork bookkeeping minus cache copies (paged layout shares pages via
+    the host block table): copy lengths, sample independent first tokens."""
+    cache_lens = cache_lens.at[dsts].set(cache_lens[src])
+    logits = jnp.broadcast_to(last_logits[None, :], (n_forks, last_logits.shape[0]))
+    rng, sub = jax.random.split(rng)
+    tokens, logprobs = sample_masked(logits, sub, temperature, top_p, top_k)
+    lp_bits = jax.lax.bitcast_convert_type(logprobs.astype(jnp.float32), jnp.int32)
+    first_info = first_info.at[dsts].set(
+        jnp.stack([tokens.astype(jnp.int32), lp_bits], axis=-1)
+    )
+    return cache_lens, first_info, rng
 
 
 def _score_fn(model_cfg: ModelConfig, attn_impl: str, params: dict, input_ids: jnp.ndarray, temperature: float):

@@ -335,7 +335,9 @@ def decode_step_staged(
     k_staged: jnp.ndarray,  # [L, W, S, K, Dh] — this window's earlier tokens
     v_staged: jnp.ndarray,
     step: jnp.ndarray,  # scalar — index within the window
-    attn_impl: str = "xla",  # "xla" | "ragged" (Pallas kernel for the cache part)
+    attn_impl="xla",  # "xla" | "ragged" (Pallas) | callable with the same
+    # signature as ops/attention.decode_attention_staged (the engine's paged
+    # layout closes a block table over it, inference/engine.py)
 ):
     """One decode step attending over frozen cache + staged band (see
     ops/attention.decode_attention_staged). Returns (fp32 logits [S, V],
@@ -346,7 +348,9 @@ def decode_step_staged(
     x = jnp.take(params["embed"], tokens, axis=0)  # [S, D]
     cos, sin = rope_cos_sin(positions, cfg.head_dim_, cfg.rope_theta)  # [S, Dh]
 
-    if attn_impl == "ragged":
+    if callable(attn_impl):
+        _attn = attn_impl
+    elif attn_impl == "ragged":
         from ..ops.decode_attention import decode_attention_staged_ragged as _attn
     else:
         _attn = decode_attention_staged
