@@ -80,6 +80,11 @@ class EngineConfig:
     # jitted programs (the reference's vLLM tensor-parallel-size,
     # conf/base.yaml:70)
     tp: int = 1
+    # pipeline parallelism: shard the stacked layer dim of params and KV
+    # caches over a pp mesh axis — weights and cache memory spread across
+    # stages, GSPMD moves activations stage-to-stage inside the layer scan
+    # (the reference's vLLM pipeline-parallel-size, conf/base.yaml:71)
+    pp: int = 1
     # device PRNG for sampling: "rbg" (TPU-native generator — far cheaper
     # per step than threefry's bit arithmetic at [S, V] Gumbel draws) or
     # "threefry2x32" (JAX default, bit-reproducible across backends)
@@ -204,8 +209,8 @@ class InferenceEngine:
 
         self.paged = cfg.kv_layout == "paged"
         if self.paged:
-            if cfg.tp > 1:
-                raise ValueError("kv_layout=paged does not support tp>1 yet")
+            if cfg.tp > 1 or cfg.pp > 1:
+                raise ValueError("kv_layout=paged does not support tp/pp>1 yet")
             if vision_params is not None:
                 raise ValueError("kv_layout=paged does not support VLM yet")
             from .block_pool import BlockPool
@@ -222,17 +227,19 @@ class InferenceEngine:
             self._slot_capacity = np.zeros(S, np.int64)
 
         self.mesh = None
-        if cfg.tp > 1:
+        if cfg.tp > 1 or cfg.pp > 1:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             from ..parallel import make_mesh, shard_params
 
-            self.mesh = make_mesh(n_devices=cfg.tp, tp=cfg.tp)
+            if L % cfg.pp != 0:
+                raise ValueError(f"num_layers {L} not divisible by pp={cfg.pp}")
+            self.mesh = make_mesh(n_devices=cfg.tp * cfg.pp, tp=cfg.tp, pp=cfg.pp)
             self.params = shard_params(self.params, self.mesh)
-            cache_spec = (
-                P(None, None, None, "tp", None)
-                if K % cfg.tp == 0
-                else P()  # too few kv heads: replicate the cache
+            # KV cache [L, S, T, K, Dh]: layer dim over pp stages, kv heads
+            # over tp (replicated when K doesn't divide)
+            cache_spec = P(
+                "pp", None, None, "tp" if K % cfg.tp == 0 else None, None
             )
             self._cache_sharding = NamedSharding(self.mesh, cache_spec)
         if not self.paged:

@@ -68,5 +68,5 @@ def make_multihost_mesh(tp: int = 1, cp: int = 1) -> Mesh:
         )
     n = jax.device_count()
     dp = n // (tp * cp)
-    devices = np.asarray(jax.devices()).reshape(dp, cp, tp)
+    devices = np.asarray(jax.devices()).reshape(dp, cp, tp, 1)
     return Mesh(devices, AXES)

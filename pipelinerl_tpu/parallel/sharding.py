@@ -13,24 +13,24 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..types import RL_DATA_COLUMNS
 
-# PartitionSpec per param leaf. Layer params carry a leading layer dim
-# (never sharded). FSDP shards one big dim over "dp"; TP shards the
-# head/ffn output dims over "tp".
+# PartitionSpec per param leaf. Layer params carry a leading stacked-layer
+# dim, sharded over "pp" (pipeline stages; size-1 axis = no-op). FSDP shards
+# one big dim over "dp"; TP shards the head/ffn output dims over "tp".
 _LAYER_SPECS = {
-    "ln1": P(None, None),
-    "ln2": P(None, None),
-    "wq": P(None, "dp", "tp"),
-    "wk": P(None, "dp", "tp"),
-    "wv": P(None, "dp", "tp"),
-    "wo": P(None, "tp", "dp"),
-    "wgate": P(None, "dp", "tp"),
-    "wup": P(None, "dp", "tp"),
-    "wdown": P(None, "tp", "dp"),
-    "bq": P(None, "tp"),
-    "bk": P(None, "tp"),
-    "bv": P(None, "tp"),
-    "q_norm": P(None, None),
-    "k_norm": P(None, None),
+    "ln1": P("pp", None),
+    "ln2": P("pp", None),
+    "wq": P("pp", "dp", "tp"),
+    "wk": P("pp", "dp", "tp"),
+    "wv": P("pp", "dp", "tp"),
+    "wo": P("pp", "tp", "dp"),
+    "wgate": P("pp", "dp", "tp"),
+    "wup": P("pp", "dp", "tp"),
+    "wdown": P("pp", "tp", "dp"),
+    "bq": P("pp", "tp"),
+    "bk": P("pp", "tp"),
+    "bv": P("pp", "tp"),
+    "q_norm": P("pp", None),
+    "k_norm": P("pp", None),
 }
 
 _TOP_SPECS = {
