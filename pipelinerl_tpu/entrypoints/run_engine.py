@@ -19,14 +19,16 @@ logger = logging.getLogger(__name__)
 
 def main(argv: list[str] | None = None) -> None:
     cfg = load_stage_config(argv)
-    stage_setup(cfg, "engine")
+    frozen = bool(cfg.select("me.frozen", False))
+    stage_setup(cfg, "ref_engine" if frozen else "engine")
     port = int(cfg.select("me.port", 8080))
 
     params, model_cfg, tokenizer = build_model(cfg)
     engine = build_engine(cfg, params, model_cfg, tokenizer)
     engine.start()
 
-    server = InferenceServer(engine, tokenizer)
+    # frozen ref_engine jobs reject weight pushes (KL reference policy)
+    server = InferenceServer(engine, tokenizer, frozen=frozen)
     loop = asyncio.new_event_loop()
     asyncio.set_event_loop(loop)
     loop.run_until_complete(server.run(port=port))

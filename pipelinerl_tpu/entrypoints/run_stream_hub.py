@@ -19,7 +19,11 @@ def main(argv: list[str] | None = None) -> None:
     persist = None
     if bool(cfg.select("streams.persist", True)):
         persist = str(Path(exp_path) / "streams_hub")
-    hub = StreamHub(host="0.0.0.0", port=port, persist_dir=persist)
+    # per-key retention bound — matches the reference's Redis XADD maxlen 1M
+    # (/root/reference/pipelinerl/streams.py:120-192); a days-long run must
+    # not grow hub memory without bound
+    maxlen = int(cfg.select("streams.hub_maxlen", 1_000_000) or 1_000_000)
+    hub = StreamHub(host="0.0.0.0", port=port, persist_dir=persist, maxlen=maxlen)
     hub.serve_forever()
 
 

@@ -32,10 +32,20 @@ logger = logging.getLogger(__name__)
 
 
 class InferenceServer:
-    def __init__(self, engine: InferenceEngine, tokenizer, model_name: str = "local"):
+    def __init__(
+        self,
+        engine: InferenceEngine,
+        tokenizer,
+        model_name: str = "local",
+        frozen: bool = False,
+    ):
         self.engine = engine
         self.tokenizer = tokenizer
         self.model_name = model_name
+        # frozen: a reference-policy server (ref_engine job) — weight pushes
+        # are rejected so KL scoring always runs against the initial policy
+        # (the reference's dedicated ref vLLM, launch.py:149)
+        self.frozen = frozen
         self.app = web.Application(client_max_size=64 * 1024 * 1024)
         self.app.router.add_post("/v1/chat/completions", self.chat_completions)
         self.app.router.add_post("/v1/completions", self.completions)
@@ -295,6 +305,11 @@ class InferenceServer:
           for operator-driven reloads).
 
         The engine never pauses: the swap happens between decode windows."""
+        if self.frozen:
+            return web.json_response(
+                {"error": "frozen reference-policy server rejects weight updates"},
+                status=403,
+            )
         loop = asyncio.get_event_loop()
         if request.content_type == "application/x-msgpack":
             body = await request.read()

@@ -222,6 +222,35 @@ def validate_config(cfg: Config) -> None:
             f"llm.parameters.max_tokens ({max_tokens}) >= engine.max_len "
             f"({engine_max}): no room for any prompt in the KV cache"
         )
+    # prompt-length-aware budget check: even the SHORTEST bucketed prompt
+    # must leave room for the full completion budget, else every request
+    # silently truncates to finish_reason="length"
+    if buckets and max_tokens and max_tokens + min(buckets) > engine_max:
+        problems.append(
+            f"llm.parameters.max_tokens ({max_tokens}) + smallest prefill "
+            f"bucket ({min(buckets)}) exceeds engine.max_len ({engine_max}): "
+            "no prompt can receive its full completion budget"
+        )
+    if buckets and max_tokens and max_tokens + max(buckets) > engine_max:
+        logger.warning(
+            "llm.parameters.max_tokens (%d) + largest prefill bucket (%d) "
+            "exceeds engine.max_len (%d): long prompts will have their "
+            "completion budget truncated",
+            max_tokens, max(buckets), engine_max,
+        )
+    # KL needs a reference policy: in processes mode that is a provisioned
+    # ref_engine job (reference launch.py:149); without one, ref_logprobs
+    # silently read 0.0 and the KL penalty is garbage
+    kl_coef = float(cfg.select("finetune.rl.kl_coef", 0.0) or 0.0)
+    if (
+        kl_coef != 0.0
+        and str(cfg.get("launch_mode", "inline")) == "processes"
+        and str(cfg.select("world.ref_engine", "auto")) in ("false", "False", "0")
+    ):
+        problems.append(
+            "finetune.rl.kl_coef != 0 with world.ref_engine disabled: "
+            "preprocessors would score KL against a zero reference policy"
+        )
     policy = cfg.select("finetune.rl.policy_loss", "reinforce")
     if policy not in ("reinforce", "ppo", "gspo"):
         problems.append(f"unknown finetune.rl.policy_loss {policy!r}")
@@ -522,6 +551,7 @@ def run_processes(cfg: Config) -> int:
     entrypoints = {
         "device": "pipelinerl_tpu.entrypoints.run_device",
         "engine": "pipelinerl_tpu.entrypoints.run_engine",
+        "ref_engine": "pipelinerl_tpu.entrypoints.run_engine",
         "trainer": "pipelinerl_tpu.entrypoints.run_trainer",
         "stream_hub": "pipelinerl_tpu.entrypoints.run_stream_hub",
         "actor": "pipelinerl_tpu.entrypoints.run_actor",
@@ -532,7 +562,7 @@ def run_processes(cfg: Config) -> int:
     procs: list[tuple[str, Any]] = []
     log_dir = exp_path / "logs"
     log_dir.mkdir(parents=True, exist_ok=True)
-    chip_jobs = ("device", "engine", "trainer")
+    chip_jobs = ("device", "engine", "ref_engine", "trainer")
 
     def spawn(job) -> None:
         name = f"{job.kind}_{job.replica_idx}"
@@ -550,6 +580,9 @@ def run_processes(cfg: Config) -> int:
         if job.kind in ("actor", "trainer"):
             urls = ",".join(f'"{u}"' for u in world_map.llm_urls)
             cmd.append(f"+me.llm_urls=[{urls}]")
+        if job.kind == "preprocessor" and world_map.ref_llm_urls:
+            ref_urls = ",".join(f'"{u}"' for u in world_map.ref_llm_urls)
+            cmd.append(f"+me.ref_llm_urls=[{ref_urls}]")
         for key, value in job.extra.items():
             cmd.append(f"+me.{key}={value}")
         env = dict(os.environ)
@@ -597,11 +630,12 @@ def run_processes(cfg: Config) -> int:
         world_map.jobs_of("environment")
         + world_map.jobs_of("device")
         + world_map.jobs_of("engine")
+        + world_map.jobs_of("ref_engine")
         + world_map.jobs_of("trainer")
     ):
         spawn(job)
     if not dry_run:
-        _wait_for_http(world_map.llm_urls)
+        _wait_for_http(world_map.llm_urls + world_map.ref_llm_urls)
         _wait_for_http(
             [f"http://{e['hostname']}:{e['port']}" for e in world_map.environment_servers]
         )

@@ -98,19 +98,45 @@ def unpack_frames(body: bytes) -> list[bytes]:
 
 
 class _Log:
-    """One key's append-only in-memory log."""
+    """One key's append-only in-memory log, trimmed to ``maxlen`` entries.
 
-    def __init__(self) -> None:
+    ``base`` counts entries trimmed from the front: the log holds absolute
+    offsets [base, base+len(payloads)). Matches Redis stream maxlen
+    semantics (the reference trims at XADD maxlen 1M,
+    /root/reference/pipelinerl/streams.py:120-192): a reader whose offset
+    fell behind the trim resumes at the oldest retained entry."""
+
+    def __init__(self, maxlen: int) -> None:
         self.payloads: list[bytes] = []
+        self.base = 0
+        self.maxlen = maxlen
         self.cond = threading.Condition()
+
+    def append(self, payloads: list[bytes]) -> None:
+        self.payloads.extend(payloads)
+        excess = len(self.payloads) - self.maxlen
+        if excess > 0:
+            del self.payloads[:excess]
+            self.base += excess
+
+    @property
+    def end(self) -> int:
+        return self.base + len(self.payloads)
 
 
 class StreamHub:
     """The hub: thread-per-connection TCP server over per-key logs."""
 
-    def __init__(self, host: str = "0.0.0.0", port: int = 0, persist_dir: str | None = None):
+    def __init__(
+        self,
+        host: str = "0.0.0.0",
+        port: int = 0,
+        persist_dir: str | None = None,
+        maxlen: int = 1_000_000,
+    ):
         self._logs: dict[str, _Log] = {}
         self._logs_lock = threading.Lock()
+        self._maxlen = max(1, int(maxlen))
         self._persist_dir = Path(persist_dir) if persist_dir else None
         hub = self
 
@@ -138,7 +164,7 @@ class StreamHub:
         with self._logs_lock:
             log = self._logs.get(key)
             if log is None:
-                log = self._logs[key] = _Log()
+                log = self._logs[key] = _Log(self._maxlen)
             return log
 
     def _dispatch(self, sock: socket.socket, header: dict, body: bytes) -> None:
@@ -147,7 +173,7 @@ class StreamHub:
             log = self._log_for(header["key"])
             payloads = unpack_frames(body)
             with log.cond:
-                log.payloads.extend(payloads)
+                log.append(payloads)
                 log.cond.notify_all()
             if self._persist_dir is not None:
                 self._persist(header["key"], payloads)
@@ -159,12 +185,16 @@ class StreamHub:
             wait_s = float(header.get("wait_s", 0.0))
             deadline = time.monotonic() + wait_s
             with log.cond:
-                while len(log.payloads) <= offset:
+                while log.end <= offset:
                     remaining = deadline - time.monotonic()
                     if remaining <= 0:
                         break
                     log.cond.wait(timeout=remaining)
-                chunk = log.payloads[offset : offset + max_n]
+                # a reader behind the trim horizon resumes at the oldest
+                # retained entry (Redis XREAD-after-trim semantics)
+                offset = max(offset, log.base)
+                start = offset - log.base
+                chunk = log.payloads[start : start + max_n]
             _send_msg(
                 sock, {"ok": 1, "offset": offset + len(chunk)}, pack_frames(chunk)
             )

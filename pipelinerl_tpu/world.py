@@ -53,6 +53,18 @@ class Job:
         }
 
 
+def _fraction_split(n_hosts: int, actor_fraction: float, finetune_fraction: float) -> int:
+    """Number of hosts reserved for engines when fractions are set — the
+    reference's actor:finetune GPU split (_split_gpus_by_purpose,
+    /root/reference/pipelinerl/world.py:143-192) expressed host-wise.
+    Returns engine host count in [1, n_hosts-1] (both sides need >=1)."""
+    total = actor_fraction + finetune_fraction
+    if total <= 0:
+        return max(1, n_hosts // 2)
+    k = round(n_hosts * actor_fraction / total)
+    return min(max(k, 1), n_hosts - 1)
+
+
 class WorldMap:
     def __init__(self, cfg: Config):
         self.cfg = cfg
@@ -60,6 +72,8 @@ class WorldMap:
         self.hosts: list[str] = list(world.get("hosts", ["127.0.0.1"]))
         self.replicas = int(world.get("replicas", 1))
         self.trainer_procs = int(world.get("trainer_procs", 0))
+        self.actor_fraction = float(world.get("actor_fraction", 0) or 0)
+        self.finetune_fraction = float(world.get("finetune_fraction", 0) or 0)
         self.env_replicas = int(world.get("env_replicas", 1))
         engine_port = int(world.get("engine_start_port", 8080))
         env_port = int(world.get("environment_start_port", 7777))
@@ -78,12 +92,39 @@ class WorldMap:
             self.jobs.append(
                 Job(kind="stream_hub", hostname=self.hosts[0], port=self.stream_hub_port)
             )
+        # reference-policy engine: a frozen-weights engine scoring ref
+        # logprobs for the KL penalty (the reference provisions a dedicated
+        # ref vLLM, /root/reference/pipelinerl/launch.py:149,
+        # world.py:230-268). "auto" provisions iff kl_coef != 0.
+        ref_setting = world.get("ref_engine", "auto")
+        kl_coef = float(cfg.select("finetune.rl.kl_coef", 0.0) or 0.0)
+        self.needs_ref_engine = (
+            kl_coef != 0.0 if ref_setting == "auto" else bool(ref_setting)
+        )
+        self.ref_engine_port = int(world.get("ref_engine_port", engine_port + 500))
         if self.trainer_procs > 0:
             # split deployment: engines and the trainer world are separate
-            # processes (possibly separate hosts / TPU slices)
+            # processes (possibly separate hosts / TPU slices). With
+            # actor/finetune fractions set, engines get the first
+            # `n_engine_hosts` hosts and trainers fill from the back —
+            # otherwise legacy round-robin over all hosts.
+            fractions_set = self.actor_fraction > 0 or self.finetune_fraction > 0
+            if fractions_set and len(self.hosts) > 1:
+                n_engine_hosts = _fraction_split(
+                    len(self.hosts), self.actor_fraction, self.finetune_fraction
+                )
+                engine_host = lambda i: self.hosts[i % n_engine_hosts]  # noqa: E731
+                trainer_host = lambda i: self.hosts[  # noqa: E731
+                    n_engine_hosts + (i % (len(self.hosts) - n_engine_hosts))
+                ]
+            else:
+                engine_host = host
+                trainer_host = lambda i: self.hosts[  # noqa: E731
+                    len(self.hosts) - 1 - (i % len(self.hosts))
+                ]
             for i in range(self.replicas):
                 self.jobs.append(
-                    Job(kind="engine", replica_idx=i, hostname=host(i), port=engine_port + i)
+                    Job(kind="engine", replica_idx=i, hostname=engine_host(i), port=engine_port + i)
                 )
             coordinator = f"{self.hosts[0]}:{self.coordinator_port}"
             for i in range(self.trainer_procs):
@@ -91,7 +132,7 @@ class WorldMap:
                     Job(
                         kind="trainer",
                         replica_idx=i,
-                        hostname=host(len(self.hosts) - 1 - (i % len(self.hosts))),
+                        hostname=trainer_host(i),
                         extra={
                             "process_id": i,
                             "num_processes": self.trainer_procs,
@@ -105,6 +146,19 @@ class WorldMap:
                 self.jobs.append(
                     Job(kind="device", replica_idx=i, hostname=host(i), port=engine_port + i)
                 )
+        if self.needs_ref_engine:
+            # own host slot after the engines (on TPU the ref engine needs
+            # its own chip — single-tenant runtime); frozen: the server
+            # rejects weight pushes
+            self.jobs.append(
+                Job(
+                    kind="ref_engine",
+                    replica_idx=0,
+                    hostname=host(self.replicas),
+                    port=self.ref_engine_port,
+                    extra={"frozen": True},
+                )
+            )
         # environment servers (verifiers)
         needs_env = bool(cfg.get("environment"))
         if needs_env or cfg.get("environment_class"):
@@ -124,6 +178,14 @@ class WorldMap:
             f"http://{j.hostname}:{j.port}"
             for j in self.jobs
             if j.kind in ("device", "engine") and j.port
+        ]
+
+    @property
+    def ref_llm_urls(self) -> list[str]:
+        return [
+            f"http://{j.hostname}:{j.port}"
+            for j in self.jobs
+            if j.kind == "ref_engine" and j.port
         ]
 
     @property

@@ -118,3 +118,34 @@ def test_cross_process_producer(hub, tmp_path):
         assert msgs == list(range(50))
     finally:
         set_streams_backend("files")
+
+
+def test_hub_maxlen_trims_and_readers_resume():
+    """Retention bound (the reference trims Redis streams at maxlen 1M,
+    streams.py:120-192): the hub keeps at most ``maxlen`` entries per key;
+    a reader behind the trim horizon resumes at the oldest retained entry
+    instead of stalling or erroring."""
+    h = StreamHub(host="127.0.0.1", port=0, maxlen=10)
+    h.start()
+    try:
+        addr = f"127.0.0.1:{h.port}"
+        set_streams_backend("tcp", hub=addr)
+        reader = StreamReader(_spec("trim"))
+        with StreamWriter(_spec("trim")) as w:
+            for i in range(25):
+                w.write({"i": i})
+        # late reader (offset 0 < base 15) gets exactly the retained window
+        msgs = list(reader.read_available())
+        assert [m["i"] for m in msgs] == list(range(15, 25))
+        # memory actually bounded
+        log = h._logs["trim/0/0"]
+        assert len(log.payloads) == 10 and log.base == 15
+        # a caught-up reader keeps tailing normally across further trims
+        with StreamWriter(_spec("trim")) as w:
+            for i in range(25, 31):
+                w.write({"i": i})
+        more = list(reader.read_available())
+        assert [m["i"] for m in more] == list(range(25, 31))
+    finally:
+        set_streams_backend("files")
+        h.stop()
