@@ -42,12 +42,27 @@ from .utils import SlidingWindowAggregator, calculate_stats
 logger = logging.getLogger(__name__)
 
 
+def _has_degenerate_text(result: RolloutResult) -> bool:
+    """A rollout whose transcript contains an aborted or empty completion
+    (e.g. an over-length prompt the engine resolved with zero tokens) must
+    not become a training sample — the reference retries abort-shaped
+    completions instead (/root/reference/pipelinerl/async_llm.py:61-168)."""
+    return any(
+        t.finish_reason == "abort" or t.output_tokens == 0
+        for t in result.training_texts
+    )
+
+
 @dataclass
 class ActorStats:
     groups_completed: int = 0
     rollouts_completed: int = 0
     samples_written: int = 0
     output_tokens: int = 0
+    # degenerate-completion accounting (aborted/empty rollouts retried, and
+    # groups dropped because a member stayed degenerate after retries)
+    aborted_rollout_retries: int = 0
+    dropped_degenerate_groups: int = 0
     metrics: dict[str, list[float]] = field(default_factory=dict)
     # per-dataset and per-domain windowed aggregates (reference publishes
     # per-dataset groups, actor.py:696-780)
@@ -92,6 +107,8 @@ class ActorStats:
             "rollouts_completed": self.rollouts_completed,
             "samples_written": self.samples_written,
             "output_tokens": self.output_tokens,
+            "aborted_rollout_retries": self.aborted_rollout_retries,
+            "dropped_degenerate_groups": self.dropped_degenerate_groups,
         }
         for name, values in self.metrics.items():
             for stat, val in calculate_stats(values).items():
@@ -197,6 +214,23 @@ class ActorLoop:
                 result = await self.rollout_policy(
                     self.cfg, self.llms[llm_idx], problem, None
                 )
+                if _has_degenerate_text(result):
+                    # aborted/empty completion: retry once within the same
+                    # budget (transient aborts recover; a deterministically
+                    # over-length prompt stays degenerate and its group is
+                    # dropped by the run loop)
+                    attempt += 1
+                    if max_retries < 0 or attempt <= max_retries:
+                        self.stats.aborted_rollout_retries += 1
+                        logger.warning(
+                            "Rollout produced an aborted/empty completion "
+                            "(attempt %d/%d); retrying", attempt, max_retries,
+                        )
+                        continue
+                    logger.warning(
+                        "Rollout still degenerate after %d attempts; its "
+                        "group will be dropped", attempt,
+                    )
                 break
             except Exception:
                 attempt += 1
@@ -343,6 +377,13 @@ class ActorLoop:
                 )
                 for task in done:
                     results = task.result()
+                    if any(_has_degenerate_text(r) for r in results):
+                        # a member stayed aborted/empty after retries: the
+                        # whole group is unusable (LOO advantages need all
+                        # attempts) — drop it, never write a training sample
+                        self.stats.dropped_degenerate_groups += 1
+                        completed += 1
+                        continue
                     if sampler is not None:
                         for r in results:
                             if r.domain:
@@ -372,6 +413,14 @@ class ActorLoop:
                     for task in in_flight:
                         task.cancel()
                     break
+            # final snapshot: eval interleaves are short (completed <
+            # publish_every) and would otherwise never reach stats_test.
+            # Train loops keep their windowed metrics for the caller's
+            # closing snapshot instead.
+            if not self.is_training:
+                snap = self.stats.snapshot()
+                snap["output_tokens_per_second"] = self.tokens_window.rate_per_sec()
+                stats_writer.write(snap)
         return self.stats
 
     def _sampled_stream(self, sampler, total_groups: int | None):

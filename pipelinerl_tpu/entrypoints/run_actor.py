@@ -54,6 +54,8 @@ async def amain(cfg) -> None:
     test_problems = []
     if eval_every:
         test_problems = loader(list(cfg.get("test_dataset_names", [])))
+        if cfg.get("test_subset"):
+            test_problems = test_problems[: int(cfg.test_subset)]
 
     async def eval_watcher() -> None:
         last_eval_version = 0

@@ -59,6 +59,13 @@ class EngineConfig:
     # carry already holds the sampled tokens, so a future window needs no
     # host input). Stop detection lags by (depth-1) windows of speculation.
     window_pipeline_depth: int = 2
+    # budget-aware speculation control: when the minimum remaining token
+    # budget across active slots fits a smaller compiled window (W/2, W/4),
+    # dispatch that size instead, and drain the pipeline to depth 1 when a
+    # finish is certain this window — waste = tokens decoded past a stop or
+    # budget drops sharply for length-capped RL rollouts (round-2 BENCH
+    # threw away 23% of decode as speculation)
+    adaptive_window: bool = True
     # attention implementation for prefill/score forwards: "xla" | "flash"
     attn_impl: str = "xla"
     # decode-window cache attention: "auto" | "xla" | "ragged" (Pallas
@@ -274,9 +281,16 @@ class InferenceEngine:
         self.speculative_wasted_tokens = 0
         self.windows_dispatched = 0
         self.window_slots_dispatched = 0
+        self.window_size_counts: dict[int, int] = {}
         self.aborted_requests = 0
 
         window = max(1, cfg.decode_window)
+        self._max_window = window
+        # dispatchable window sizes, ascending: W/4, W/2, W (adaptive mode)
+        if cfg.adaptive_window and window >= 4:
+            self._window_sizes = sorted({max(1, window // 4), max(1, window // 2), window})
+        else:
+            self._window_sizes = [window]
         decode_attn = cfg.decode_attn_impl
         if decode_attn == "auto":
             decode_attn = (
@@ -285,30 +299,8 @@ class InferenceEngine:
                 else "xla"
             )
         self.decode_attn_impl = decode_attn
-        if self.paged:
-            self._decode_fast = jax.jit(
-                partial(_decode_window_paged_fn, model_cfg, False, window),
-                donate_argnums=(1, 2),
-            )
-            self._decode_masked = jax.jit(
-                partial(_decode_window_paged_fn, model_cfg, True, window),
-                donate_argnums=(1, 2),
-            )
-        else:
-            self._decode_fast = jax.jit(
-                partial(
-                    _decode_window_fn, model_cfg, False, window,
-                    attn_impl=decode_attn,
-                ),
-                donate_argnums=(1, 2),
-            )
-            self._decode_masked = jax.jit(
-                partial(
-                    _decode_window_fn, model_cfg, True, window,
-                    attn_impl=decode_attn,
-                ),
-                donate_argnums=(1, 2),
-            )
+        self._decode_attn = decode_attn
+        self._decode_fns: dict[tuple[int, bool], Any] = {}
         self._rng_device = jax.random.key(cfg.seed + 1, impl=cfg.rng_impl)
         self._windows: deque[_Window] = deque()
         self._gen_counter = 0
@@ -463,6 +455,7 @@ class InferenceEngine:
             / (produced + self.speculative_wasted_tokens),
             "slot_occupancy": self.window_slots_dispatched
             / (windows * self.cfg.max_slots),
+            "window_size_counts": dict(self.window_size_counts),
             "aborted_requests": self.aborted_requests,
             "num_active": self.num_active,
             "num_pending": self.num_pending,
@@ -588,6 +581,28 @@ class InferenceEngine:
                 self._prefill_batch(bucket, group[pos : pos + batch])
                 pos += batch
         return True
+
+    def _decode_fn_for(self, n_steps: int, masked: bool):
+        """Jitted decode-window program for one window size (compiled lazily,
+        cached for the engine's lifetime)."""
+        key = (n_steps, masked)
+        fn = self._decode_fns.get(key)
+        if fn is None:
+            if self.paged:
+                fn = jax.jit(
+                    partial(_decode_window_paged_fn, self.model_cfg, masked, n_steps),
+                    donate_argnums=(1, 2),
+                )
+            else:
+                fn = jax.jit(
+                    partial(
+                        _decode_window_fn, self.model_cfg, masked, n_steps,
+                        self.cfg.max_len, attn_impl=self._decode_attn,
+                    ),
+                    donate_argnums=(1, 2),
+                )
+            self._decode_fns[key] = fn
+        return fn
 
     def _reserve_tokens(self, request: GenRequest) -> int:
         """Pages reserved at admission: the prompt, the request's own token
@@ -956,6 +971,7 @@ class InferenceEngine:
         top_k = np.zeros(S, np.int32)
         needs_masking = False
         pending: list[int] = []
+        min_remaining = 1 << 30
         for i, s in enumerate(self._slots):
             if s is None:
                 continue
@@ -964,6 +980,13 @@ class InferenceEngine:
             gens[i] = s.gen
             if s.pending_first:
                 pending.append(i)
+            # remaining token budget (tokens in in-flight windows not yet
+            # counted — the consume path enforces the exact cut). A pending
+            # prefill-sampled first token is already produced but not yet in
+            # token_ids; it rides this window's packed output, so it spends
+            # one budget unit before any of this window's steps land.
+            remaining = s.max_new_tokens - len(s.token_ids) - (1 if s.pending_first else 0)
+            min_remaining = min(min_remaining, remaining)
             p = s.request.params
             temperature[i] = p.temperature
             top_p[i] = p.top_p
@@ -980,7 +1003,19 @@ class InferenceEngine:
         pending_mask = np.zeros(S, np.bool_)
         pending_mask[pending] = True
 
-        fn = self._decode_masked if needs_masking else self._decode_fast
+        # budget-aware window size: the smallest compiled size that covers
+        # the closest-to-budget slot's remaining tokens (speculation past a
+        # known budget is pure waste); certain finishes also drain the
+        # pipeline to depth 1 after dispatch so the freed slot refills
+        # before the next window
+        window = self._window_sizes[-1]
+        if len(self._window_sizes) > 1 and min_remaining < window:
+            window = next(
+                (w for w in self._window_sizes if w >= min_remaining),
+                self._window_sizes[-1],
+            )
+        certain_finish = min_remaining <= window
+        fn = self._decode_fn_for(window, needs_masking)
         if self.paged:
             (
                 packed,
@@ -1029,8 +1064,10 @@ class InferenceEngine:
             )
         self.windows_dispatched += 1
         self.window_slots_dispatched += int(active.sum())
+        self.window_size_counts[window] = self.window_size_counts.get(window, 0) + 1
         self._windows.append(_Window(packed, active, gens, pending))
-        while len(self._windows) >= max(1, self.cfg.window_pipeline_depth):
+        depth = 1 if certain_finish else max(1, self.cfg.window_pipeline_depth)
+        while len(self._windows) >= depth:
             self._process_window(self._windows.popleft())
         return True
 
@@ -1139,6 +1176,7 @@ def _decode_window_fn(
     model_cfg: ModelConfig,
     use_masking: bool,
     n_steps: int,
+    capacity: int,  # slab token capacity T (static; T_alloc = T + max window)
     params: dict,
     k_cache: jnp.ndarray,  # [L, S, T_alloc, K, Dh]; capacity = T_alloc - n_steps
     v_cache: jnp.ndarray,
@@ -1163,7 +1201,6 @@ def _decode_window_fn(
     window) plus the advanced engine state."""
     S = tokens.shape[0]
     T_alloc = k_cache.shape[2]
-    capacity = T_alloc - n_steps
     L = k_cache.shape[0]
     K, Dh = k_cache.shape[3], k_cache.shape[4]
     tokens = jnp.where(pending_mask, first_info[:, 0], tokens)

@@ -164,6 +164,7 @@ def build_engine(
             cache_dtype=_DTYPES[ecfg.get("cache_dtype", "bfloat16")],
             decode_window=int(ecfg.get("decode_window", 8)),
             window_pipeline_depth=int(ecfg.get("window_pipeline_depth", 2)),
+            adaptive_window=bool(ecfg.get("adaptive_window", True)),
             attn_impl=str(ecfg.get("attn_impl", "xla")),
             tp=int(ecfg.get("tp", 1)),
         ),
@@ -442,7 +443,53 @@ def run_inline(cfg: Config) -> dict[str, Any]:
         t.start()
 
     if actor is not None:
-        actor_stats = asyncio.run(actor.run(total_groups=total_groups))
+        # eval interleaving (reference actor.py:868-909): every
+        # eval_every_n_versions weight versions, pause train scheduling and
+        # run the test problems through a test ActorLoop (stats land on the
+        # stats_test stream)
+        eval_every = int(cfg.get("eval_every_n_versions", 0) or 0)
+        test_problems: list = []
+        if eval_every:
+            loader = resolve(cfg.dataset_loader)
+            test_problems = loader(list(cfg.get("test_dataset_names", [])))
+            if cfg.get("test_subset"):
+                test_problems = test_problems[: int(cfg.test_subset)]
+
+        async def _run_actor_with_eval():
+            watcher = None
+            if eval_every and test_problems:
+                test_llm = InProcessLLM(
+                    engine,
+                    tokenizer,
+                    dict(cfg.test_llm.parameters.items()),
+                    processor=build_processor(cfg, model_cfg, tokenizer, vision_cfg),
+                )
+
+                async def eval_watcher():
+                    last_eval_version = 0
+                    while not trainer_state.training_done:
+                        await asyncio.sleep(0.2)
+                        version = trainer_state.propagated_weight_version or 0
+                        if version - last_eval_version >= eval_every:
+                            last_eval_version = version
+                            actor.is_scheduling_paused = True
+                            logger.info("Starting inline eval at version %d", version)
+                            eval_loop = ActorLoop(
+                                cfg, [test_llm], test_problems, trainer_state,
+                                exp_path, rollout_policy, is_training=False,
+                            )
+                            await eval_loop.run(total_groups=len(test_problems))
+                            actor.is_scheduling_paused = False
+                            logger.info("Inline eval at version %d done", version)
+
+                watcher = asyncio.create_task(eval_watcher())
+            try:
+                return await actor.run(total_groups=total_groups)
+            finally:
+                if watcher is not None:
+                    watcher.cancel()
+
+        actor_stats = asyncio.run(_run_actor_with_eval())
     else:
         from .actor import ActorStats
 

@@ -45,3 +45,64 @@ def test_problem_stream_reshuffles_between_epochs():
 def test_problem_stream_empty_set_terminates():
     loop = make_loop([])
     assert list(loop._problem_stream(None)) == []
+
+
+def test_degenerate_abort_rollouts_never_become_samples(tmp_path):
+    """An over-length prompt the engine resolves as finish_reason="abort"
+    with zero tokens must never flow into a training group (the reference
+    retries abort-shaped completions, async_llm.py:61-168). The actor
+    retries the rollout, then drops the whole group and counts it."""
+    import asyncio
+
+    from pipelinerl_tpu.state import TrainerState
+    from pipelinerl_tpu.types import RolloutResult, TrainingText
+
+    calls = {"n": 0}
+
+    async def degenerate_policy(cfg, llm, problem, session):
+        calls["n"] += 1
+        text = TrainingText(
+            text="x",
+            n_predicted=0,
+            input_ids=[1, 2, 3],
+            labels=[-100, -100, -100],
+            logprobs=[],
+            finished=True,
+            finish_reason="abort",
+            prompt_tokens=3,
+            output_tokens=0,
+        )
+        return RolloutResult(
+            training_texts=[text],
+            metrics={"reward": 0.0, "success": False, "no_error": True,
+                     "no_answer": True},
+            dataset_name="d",
+        )
+
+    cfg = Config(
+        {
+            "seed": 0,
+            "attempts": 2,
+            "actor": {"max_rollout_retries": 1, "max_parallel_groups": 2},
+            "finetune": {"samples_per_step": 4},
+            "llm": {"parameters": {}},
+        }
+    )
+    state = TrainerState(str(tmp_path))
+    state.debug_mode_init()
+    loop = ActorLoop(
+        cfg, [object()], [{"task": 0}], state, str(tmp_path), degenerate_policy
+    )
+    stats = asyncio.run(loop.run(total_groups=2))
+    assert stats.samples_written == 0
+    assert stats.groups_completed == 0
+    assert stats.dropped_degenerate_groups == 2
+    assert stats.aborted_rollout_retries > 0
+    # each rollout was retried once (2 groups x 2 attempts x 2 tries)
+    assert calls["n"] == 8
+    actor_stream = tmp_path / "streams" / "actor"
+    rows = []
+    if actor_stream.exists():
+        for f in actor_stream.rglob("*.jsonl"):
+            rows += [l for l in f.read_text().splitlines() if l.strip()]
+    assert rows == []

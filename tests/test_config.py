@@ -91,3 +91,17 @@ def test_save_roundtrip(tmp_path):
 
     loaded = load_yaml_file(path)
     assert loaded.to_dict() == cfg.to_dict()
+
+
+def test_tir_long_context_config_validates():
+    """The flagship 32k config must carry a real parallel.cp plan (round-2
+    verdict: seq_length 32768 with no cp block would run attention unsharded)
+    and pass validate_config."""
+    from pipelinerl_tpu.config import compose
+    from pipelinerl_tpu.launch import validate_config
+
+    cfg = compose("conf", "tir", ["model_path=toy"])
+    assert int(cfg.parallel.cp) == 8
+    assert int(cfg.finetune.seq_length) == 32768
+    assert str(cfg.finetune.attn_impl) == "auto"
+    validate_config(cfg)

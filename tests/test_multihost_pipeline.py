@@ -144,3 +144,31 @@ def test_two_process_trainer_pipeline_learns(tmp_path):
     early = sum(rewards[:2]) / 2
     late = sum(rewards[-2:]) / 2
     assert late > early + 0.04, f"no learning: reward {early:.3f} → {late:.3f} ({rewards})"
+
+
+def test_worldmap_honors_placement_fractions():
+    """world.actor_fraction / finetune_fraction split the host list between
+    engine and trainer jobs (the reference's actor:finetune GPU split,
+    /root/reference/pipelinerl/world.py:143-192, expressed host-wise)."""
+    from pipelinerl_tpu.config import Config
+    from pipelinerl_tpu.world import WorldMap
+
+    hosts = [f"10.0.0.{i}" for i in range(1, 9)]
+    cfg = Config(
+        {
+            "world": {
+                "hosts": hosts,
+                "replicas": 6,
+                "trainer_procs": 2,
+                "actor_fraction": 6,
+                "finetune_fraction": 2,
+            },
+        }
+    )
+    wm = WorldMap(cfg)
+    engine_hosts = {j.hostname for j in wm.jobs_of("engine")}
+    trainer_hosts = {j.hostname for j in wm.jobs_of("trainer")}
+    # 6:2 split over 8 hosts → engines on the first 6, trainers on the last 2
+    assert engine_hosts == set(hosts[:6])
+    assert trainer_hosts == set(hosts[6:])
+    assert not engine_hosts & trainer_hosts
