@@ -1,19 +1,25 @@
 """Benchmark: continuous-batching decode throughput on the real chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
-The metric is rollout decode throughput (generated tokens/sec/chip) on a
-Qwen2.5-0.5B-shaped model at full slot occupancy — the quantity PipelineRL's
-actor side is bounded by (reference emits it as
-``output_tokens_per_second``, actor.py:84-106; the reference publishes no
-absolute number — BASELINE.md — so ``vs_baseline`` is reported against this
-repo's round-1 result, BENCH_r01.json: 10006.5 tok/s).
+The metric is rollout decode throughput (USEFUL generated tokens/sec/chip —
+speculative overshoot excluded) on a Qwen2.5-0.5B-shaped model at full slot
+occupancy — the quantity PipelineRL's actor side is bounded by (reference
+emits it as ``output_tokens_per_second``, actor.py:84-106; the reference
+publishes no absolute number — BASELINE.md — so ``vs_baseline`` is reported
+against this repo's round-1 result, BENCH_r01.json: 10006.5 tok/s).
 
-Extras in the same JSON object: HBM-roofline utilization (decode is
-weight-read-bound), grouped-rollout throughput (8 attempts sharing one
-prompt — exercises the prefix-fork path), and warmup/compile time (persistent
-compilation cache enabled, so the second run should be far cheaper).
+Extras in the same JSON object (round-3 additions per VERDICT.md):
+- ``utilization_during_update``: decode throughput while a weight push is
+  deserialized+swapped, vs steady state (BASELINE north star >= 0.9);
+- ``ragged_ms_per_step`` / ``longctx_xla_ms_per_step``: the Pallas ragged
+  decode kernel vs the batched XLA path at long ragged contexts (validates
+  the decode_attn_impl=auto threshold);
+- ``paged_*``: concurrent capacity of the paged pool at 0.5x slab bytes;
+- ``multiturn_*``: 13-turn rollout speedup from cross-turn prefix reuse;
+- ``train16k_*``: long-context trainer point (blockwise kernel);
+- ``b7_*``: 7B-shaped engine smoke on the real chip (weights fit v5e HBM).
 
-Secondary numbers (prefill throughput, step latency) go to stderr.
+Secondary numbers go to stderr.
 """
 
 from __future__ import annotations
@@ -21,6 +27,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import threading
 import time
 
 import numpy as np
@@ -34,19 +41,11 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def main() -> None:
+def _bench_model():
     import jax
     import jax.numpy as jnp
 
-    from pipelinerl_tpu.inference import EngineConfig, GenRequest, InferenceEngine, SamplingParams
     from pipelinerl_tpu.models.transformer import ModelConfig, init_params
-    from pipelinerl_tpu.utils import enable_compilation_cache
-
-    cache_dir = enable_compilation_cache()
-    log(f"compilation cache: {cache_dir}")
-
-    dev = jax.devices()[0]
-    log(f"device: {dev} platform={dev.platform}")
 
     model_cfg = ModelConfig(
         vocab_size=151_936,
@@ -61,11 +60,38 @@ def main() -> None:
         dtype=jnp.bfloat16,
     )
     params = init_params(jax.random.key(0), model_cfg)
-    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
-    param_bytes = sum(
-        int(np.prod(p.shape)) * p.dtype.itemsize for p in jax.tree.leaves(params)
-    )
-    log(f"model: {n_params / 1e6:.0f}M params, {param_bytes / 1e9:.2f} GB")
+    return params, model_cfg
+
+
+def _drain(engine, futures):
+    while not all(f.done() for f in futures):
+        engine.step()
+
+
+def _submit(engine, rng, prompt_len, max_tokens, n, jitter=False):
+    from pipelinerl_tpu.inference import GenRequest, SamplingParams
+
+    futures = []
+    for _ in range(n):
+        prompt = rng.integers(1, 100_000, prompt_len - 1).tolist()
+        mt = int(rng.integers(max_tokens // 2, max_tokens + 1)) if jitter else max_tokens
+        futures.append(
+            engine.submit(
+                GenRequest(
+                    prompt_ids=prompt,
+                    params=SamplingParams(temperature=1.0, max_tokens=mt),
+                )
+            )
+        )
+    return futures
+
+
+def bench_engine(params, model_cfg, param_bytes, n_params) -> dict:
+    """Headline decode throughput + jittered stream + grouped rollouts +
+    utilization during an in-flight weight push."""
+    import jax.numpy as jnp
+
+    from pipelinerl_tpu.inference import EngineConfig, GenRequest, InferenceEngine, SamplingParams
 
     SLOTS = int(os.environ.get("BENCH_SLOTS", 64))
     PROMPT_LEN = 128
@@ -73,44 +99,30 @@ def main() -> None:
     WINDOW = int(os.environ.get("BENCH_WINDOW", 32))
     DEPTH = int(os.environ.get("BENCH_DEPTH", 2))
 
-    def make_engine():
-        return InferenceEngine(
-            params,
-            model_cfg,
-            EngineConfig(
-                max_slots=SLOTS,
-                max_len=PROMPT_LEN + MAX_TOKENS + 72,
-                prefill_buckets=(128,),
-                cache_dtype=jnp.bfloat16,
-                # over the tunneled chip each host sync costs ~1 RTT; long
-                # windows + depth-2 pipelining amortize it
-                decode_window=WINDOW,
-                window_pipeline_depth=DEPTH,
-            ),
-            eos_token_id=-1,  # random weights: never stop early
-        )
-
-    engine = make_engine()
+    engine = InferenceEngine(
+        params,
+        model_cfg,
+        EngineConfig(
+            max_slots=SLOTS,
+            max_len=PROMPT_LEN + MAX_TOKENS + 72,
+            prefill_buckets=(128,),
+            cache_dtype=jnp.bfloat16,
+            # over the tunneled chip each host sync costs ~1 RTT; long
+            # windows + depth-2 pipelining amortize it, budget-aware
+            # adaptive sizing kills end-of-request speculation
+            decode_window=WINDOW,
+            window_pipeline_depth=DEPTH,
+            kv_layout="slab",
+        ),
+        eos_token_id=-1,  # random weights: never stop early
+    )
     log(f"decode_attn_impl: {engine.decode_attn_impl}")
     rng = np.random.default_rng(0)
 
     def submit_wave(n, jitter=False):
-        futures = []
-        for _ in range(n):
-            prompt = rng.integers(1, 100_000, PROMPT_LEN - 1).tolist()
-            max_tok = int(rng.integers(MAX_TOKENS // 2, MAX_TOKENS + 1)) if jitter else MAX_TOKENS
-            futures.append(
-                engine.submit(
-                    GenRequest(
-                        prompt_ids=prompt,
-                        params=SamplingParams(temperature=1.0, max_tokens=max_tok),
-                    )
-                )
-            )
-        return futures
+        return _submit(engine, rng, PROMPT_LEN, MAX_TOKENS, n, jitter)
 
     def submit_groups(n_groups, group=8):
-        """GRPO-shaped load: ``group`` attempts share one prompt (prefix fork)."""
         futures = []
         for _ in range(n_groups):
             prompt = rng.integers(1, 100_000, PROMPT_LEN - 1).tolist()
@@ -125,24 +137,21 @@ def main() -> None:
                 )
         return futures
 
-    def drain(futures):
-        while not all(f.done() for f in futures):
-            engine.step()
-
-    # warmup: compile prefill (batches 8/4/2/1), decode, and fork programs
+    # warmup: compile prefill (batches 8/4/2/1), the adaptive window sizes,
+    # and fork programs
     t0 = time.monotonic()
-    drain(submit_wave(8) + submit_wave(4) + submit_wave(2) + submit_wave(1))
-    drain(submit_groups(1, group=8))
+    _drain(engine, submit_wave(8) + submit_wave(4) + submit_wave(2) + submit_wave(1))
+    _drain(engine, submit_groups(1, group=8))
+    _drain(engine, submit_wave(4, jitter=True))
     warmup_s = time.monotonic() - t0
     log(f"warmup (compile) took {warmup_s:.1f}s")
 
-    # headline: synchronized full-occupancy waves — the same workload BENCH_r01
-    # measured, so vs_baseline is apples-to-apples
+    # headline: synchronized full-occupancy waves (BENCH_r01-comparable)
     gen_before = engine.total_generated_tokens
     steps_before = engine.decode_steps
     t0 = time.monotonic()
-    drain(submit_wave(SLOTS))
-    drain(submit_wave(SLOTS))
+    _drain(engine, submit_wave(SLOTS))
+    _drain(engine, submit_wave(SLOTS))
     elapsed = time.monotonic() - t0
     gen = engine.total_generated_tokens - gen_before
     steps = engine.decode_steps - steps_before
@@ -153,17 +162,22 @@ def main() -> None:
         f"({ms_per_step:.1f} ms/step at batch {SLOTS})"
     )
 
-    # continuous-batching stream: jittered lengths stagger finishes so
-    # admissions interleave decode windows (the realistic actor-side load)
+    # continuous stream: jittered lengths stagger finishes (realistic load)
     gen_before = engine.total_generated_tokens
+    waste_before = engine.speculative_wasted_tokens
     t0 = time.monotonic()
-    drain(submit_wave(3 * SLOTS, jitter=True))
-    stream_tok_per_sec = (engine.total_generated_tokens - gen_before) / (
-        time.monotonic() - t0
+    _drain(engine, submit_wave(3 * SLOTS, jitter=True))
+    stream_elapsed = time.monotonic() - t0
+    stream_gen = engine.total_generated_tokens - gen_before
+    stream_waste = engine.speculative_wasted_tokens - waste_before
+    stream_tok_per_sec = stream_gen / stream_elapsed
+    stream_waste_frac = stream_waste / max(1, stream_gen + stream_waste)
+    log(
+        f"continuous stream (jittered): {stream_tok_per_sec:.0f} useful tok/s, "
+        f"waste {100 * stream_waste_frac:.1f}%, windows {engine.window_size_counts}"
     )
-    log(f"continuous stream (jittered): {stream_tok_per_sec:.0f} tok/s")
 
-    # roofline: each decode step reads all weights once plus the live KV
+    # roofline
     steps_per_sec = steps / elapsed
     avg_ctx = PROMPT_LEN + MAX_TOKENS / 2
     kv_bytes_per_step = (
@@ -175,76 +189,319 @@ def main() -> None:
     mfu = tok_per_sec * flops_per_tok / (V5E_BF16_TFLOPS * 1e12)
     log(f"HBM roofline utilization ~{100 * hbm_util:.1f}%  (MFU {100 * mfu:.2f}%)")
 
-    # grouped-rollout throughput: 8 attempts per prompt → prefill once, fork 7
+    # grouped rollouts: 8 attempts per prompt → prefill once, fork 7
     gen_before = engine.total_generated_tokens
     reused_before = engine.prefill_reused_tokens
     t0 = time.monotonic()
-    drain(submit_groups(3 * SLOTS // 8, group=8))
+    _drain(engine, submit_groups(3 * SLOTS // 8, group=8))
     g_elapsed = time.monotonic() - t0
-    g_gen = engine.total_generated_tokens - gen_before
-    group_tok_per_sec = g_gen / g_elapsed
+    group_tok_per_sec = (engine.total_generated_tokens - gen_before) / g_elapsed
     log(
         f"grouped (8-way shared prompt): {group_tok_per_sec:.0f} tok/s, "
         f"reused {engine.prefill_reused_tokens - reused_before} prompt tokens via fork"
     )
+
+    # ---- utilization during an in-flight weight push --------------------
+    # steady state first
+    futures = submit_wave(SLOTS)
+    for _ in range(4):
+        engine.step()
+    gen_before = engine.total_generated_tokens
+    t0 = time.monotonic()
+    for _ in range(6):
+        engine.step()
+    steady_rate = (engine.total_generated_tokens - gen_before) / (
+        time.monotonic() - t0
+    )
+    # serialize a full push off-thread (the HTTP body work), deserialize and
+    # swap while decode continues — the engine applies it between windows
+    from pipelinerl_tpu.inference.weight_transfer import deserialize_params, serialize_params
+
+    body = serialize_params({k: v for k, v in params.items()}, version=7)
+    push_span = {}
+
+    def pusher():
+        t = time.monotonic()
+        new_params, version = deserialize_params(body)
+        # host arrays: the engine streams them in bounded chunks between
+        # decode windows (update_params host-tree path)
+        engine.update_params(new_params, version)
+        push_span["issued"] = time.monotonic() - t
+
+    gen_before = engine.total_generated_tokens
+    t0 = time.monotonic()
+    th = threading.Thread(target=pusher)
+    th.start()
+    while th.is_alive() or engine.version != 7:
+        engine.step()
+    push_elapsed = time.monotonic() - t0
+    th.join()
+    push_rate = (engine.total_generated_tokens - gen_before) / push_elapsed
+    utilization_during_update = min(1.0, push_rate / max(steady_rate, 1e-9))
+    log(
+        f"weight push: {push_span.get('issued', 0):.2f}s deserialize+issue, decode "
+        f"{push_rate:.0f} tok/s during push vs {steady_rate:.0f} steady "
+        f"(utilization {utilization_during_update:.2f})"
+    )
+    _drain(engine, futures)
+
     counters = engine.perf_counters()
     log(f"engine counters: {counters}")
-    decode_impl = engine.decode_attn_impl
+    result = {
+        "tok_per_sec": tok_per_sec,
+        "stream_tok_per_sec": stream_tok_per_sec,
+        "stream_waste_frac": stream_waste_frac,
+        "group_tok_per_sec": group_tok_per_sec,
+        "hbm_util": hbm_util,
+        "mfu": mfu,
+        "warmup_s": warmup_s,
+        "speculation_waste_frac": counters["speculation_waste_frac"],
+        "decode_attn_impl": engine.decode_attn_impl,
+        "utilization_during_update": utilization_during_update,
+    }
     engine.stop()
     del engine
+    return result
 
-    # trainer-side throughput: the reference's headline metric is
-    # throughput/tokens_perGPU_per_sec (finetune_loop.py:882-905) — one
-    # packed [1, L] REINFORCE grad+update step on the same 0.5B model
-    train_tok_per_sec, train_mfu = bench_train_step(params, model_cfg)
 
-    print(
-        json.dumps(
-            {
-                "metric": "decode_tokens_per_sec_per_chip_0.5b_bs64",
-                "value": round(tok_per_sec, 1),
-                "unit": "tokens/s",
-                "vs_baseline": round(tok_per_sec / ROUND1_TOKS_PER_SEC, 3),
-                "hbm_roofline_frac": round(hbm_util, 3),
-                "mfu": round(mfu, 4),
-                "grouped_rollout_tokens_per_sec": round(group_tok_per_sec, 1),
-                "continuous_stream_tokens_per_sec": round(stream_tok_per_sec, 1),
-                "warmup_compile_s": round(warmup_s, 1),
-                "speculation_waste_frac": round(counters["speculation_waste_frac"], 4),
-                "decode_attn_impl": decode_impl,
-                "train_tokens_per_sec_per_chip": round(train_tok_per_sec, 1),
-                "train_mfu": round(train_mfu, 4),
-            }
-        ),
-        flush=True,
+def bench_long_context(params, model_cfg) -> dict:
+    """Ragged Pallas decode kernel vs batched XLA at long ragged contexts —
+    the regime the auto threshold (engine.py) claims ragged wins. Mixed
+    prompt lengths 1k-3.5k, max_len 4096, 16 slots."""
+    import jax
+    import jax.numpy as jnp
+
+    from pipelinerl_tpu.inference import EngineConfig, GenRequest, InferenceEngine, SamplingParams
+
+    if jax.default_backend() != "tpu":
+        return {}
+    SLOTS = 16
+    MAXLEN = 4096
+    rng = np.random.default_rng(2)
+    out = {}
+    for impl in ("ragged", "xla"):
+        engine = InferenceEngine(
+            params,
+            model_cfg,
+            EngineConfig(
+                max_slots=SLOTS,
+                max_len=MAXLEN,
+                prefill_buckets=(1024, 2048, 4096),
+                cache_dtype=jnp.bfloat16,
+                decode_window=32,
+                window_pipeline_depth=2,
+                decode_attn_impl=impl,
+                kv_layout="slab",
+            ),
+            eos_token_id=-1,
+        )
+        futures = []
+        for _ in range(SLOTS):
+            n = int(rng.integers(1024, 3584))
+            futures.append(
+                engine.submit(
+                    GenRequest(
+                        prompt_ids=rng.integers(1, 100_000, n).tolist(),
+                        params=SamplingParams(temperature=1.0, max_tokens=256),
+                    )
+                )
+            )
+        # warm compile then measure
+        for _ in range(6):
+            engine.step()
+        gen0, steps0 = engine.total_generated_tokens, engine.decode_steps
+        t0 = time.monotonic()
+        _drain(engine, futures)
+        elapsed = time.monotonic() - t0
+        steps = engine.decode_steps - steps0
+        gen = engine.total_generated_tokens - gen0
+        out[f"longctx_{impl}_ms_per_step"] = 1000 * elapsed / max(steps, 1)
+        out[f"longctx_{impl}_tok_per_sec"] = gen / elapsed
+        log(
+            f"long-context decode [{impl}]: {out[f'longctx_{impl}_ms_per_step']:.2f} "
+            f"ms/step, {out[f'longctx_{impl}_tok_per_sec']:.0f} tok/s"
+        )
+        engine.stop()
+        del engine
+    return out
+
+
+def bench_paged(params, model_cfg) -> dict:
+    """The paged pool's concrete win: at 0.5x the slab's KV bytes, admit
+    more concurrent long-tail requests at comparable throughput (vLLM's
+    paged-attention role, SURVEY.md §2.4)."""
+    import jax.numpy as jnp
+
+    from pipelinerl_tpu.inference import EngineConfig, InferenceEngine
+
+    MAXLEN = 4096
+    SLOTS = 32
+    BT = 128
+    slab_pages = SLOTS * ((MAXLEN + 32 + BT - 1) // BT)
+    rng = np.random.default_rng(3)
+
+    def run(layout, pool_blocks=None):
+        engine = InferenceEngine(
+            params,
+            model_cfg,
+            EngineConfig(
+                max_slots=SLOTS,
+                max_len=MAXLEN,
+                prefill_buckets=(256, 512),
+                cache_dtype=jnp.bfloat16,
+                decode_window=32,
+                window_pipeline_depth=2,
+                kv_layout=layout,
+                kv_block_size=BT,
+                kv_pool_blocks=pool_blocks,
+                prefix_cache=False,
+            ),
+            eos_token_id=-1,
+        )
+        # long-tail lengths: short prompts, budgets 128-1024 — slab reserves
+        # max_len per slot regardless; paged reserves only the budget
+        futures = []
+        peak_active = 0
+        for _ in range(64):
+            n = int(rng.integers(128, 400))
+            mt = int(rng.integers(128, 1024))
+            from pipelinerl_tpu.inference import GenRequest, SamplingParams
+
+            futures.append(
+                engine.submit(
+                    GenRequest(
+                        prompt_ids=rng.integers(1, 100_000, n).tolist(),
+                        params=SamplingParams(temperature=1.0, max_tokens=mt),
+                    )
+                )
+            )
+        for _ in range(4):
+            engine.step()
+        gen0 = engine.total_generated_tokens
+        t0 = time.monotonic()
+        while not all(f.done() for f in futures):
+            engine.step()
+            peak_active = max(peak_active, engine.num_active)
+        elapsed = time.monotonic() - t0
+        rate = (engine.total_generated_tokens - gen0) / elapsed
+        kv_bytes = (
+            engine.k_pool.nbytes * 2 if layout == "paged" else engine.k_cache.nbytes * 2
+        )
+        engine.stop()
+        return rate, peak_active, kv_bytes
+
+    slab_rate, slab_active, slab_bytes = run("slab")
+    paged_rate, paged_active, paged_bytes = run("paged", pool_blocks=slab_pages // 2)
+    log(
+        f"paged vs slab @4k: slab {slab_rate:.0f} tok/s ({slab_bytes / 1e9:.2f} GB KV, "
+        f"peak {slab_active} active) | paged-0.5x {paged_rate:.0f} tok/s "
+        f"({paged_bytes / 1e9:.2f} GB KV, peak {paged_active} active)"
     )
+    return {
+        "paged_tok_per_sec": paged_rate,
+        "paged_kv_bytes_frac": paged_bytes / slab_bytes,
+        "paged_throughput_frac": paged_rate / max(slab_rate, 1e-9),
+        "slab_tok_per_sec": slab_rate,
+    }
 
 
-def bench_train_step(params, model_cfg) -> tuple[float, float]:
-    """Packed-sequence RL grad+optimizer step throughput (tokens/s/chip) and
-    training MFU on the bench model. Packed [1, L] row, REINFORCE loss,
-    adamw, remat — the trainer's hot path (train/trainer.py grad_pass)."""
-    import time
+def bench_multiturn(params, model_cfg) -> dict:
+    """13-turn guessing-shaped conversations: cross-turn prefix reuse must
+    beat cold re-prefill on rollout tokens/s (VERDICT round-2 item #5;
+    the reference gets this from vLLM prefix caching)."""
+    import jax.numpy as jnp
 
+    from pipelinerl_tpu.inference import EngineConfig, GenRequest, InferenceEngine, SamplingParams
+
+    TURNS = 13
+    LINEAGES = 8
+    rng = np.random.default_rng(4)
+
+    def run(prefix_cache):
+        engine = InferenceEngine(
+            params,
+            model_cfg,
+            EngineConfig(
+                max_slots=8,
+                max_len=2048,
+                prefill_buckets=(128, 256, 512, 1024, 2048),
+                cache_dtype=jnp.bfloat16,
+                decode_window=16,
+                window_pipeline_depth=2,
+                kv_layout="paged",
+                kv_block_size=128,
+                prefix_cache=prefix_cache,
+            ),
+            eos_token_id=-1,
+        )
+        def one_conversation_round(measure: bool):
+            transcripts = [
+                rng.integers(1, 100_000, 96).tolist() for _ in range(LINEAGES)
+            ]
+            gen0 = engine.total_generated_tokens
+            t0 = time.monotonic()
+            for _turn in range(TURNS):
+                futures = [
+                    engine.submit(
+                        GenRequest(
+                            list(t), SamplingParams(temperature=1.0, max_tokens=24)
+                        )
+                    )
+                    for t in transcripts
+                ]
+                _drain(engine, futures)
+                for i, f in enumerate(futures):
+                    transcripts[i] = (
+                        transcripts[i]
+                        + f.result().token_ids
+                        + rng.integers(1, 100_000, 16).tolist()
+                    )
+            if not measure:
+                return 0.0
+            return (engine.total_generated_tokens - gen0) / (time.monotonic() - t0)
+
+        # first pass pays the prefill/extend compiles (turn lengths sweep the
+        # bucket ladder); the second pass is the measurement
+        one_conversation_round(measure=False)
+        rate = one_conversation_round(measure=True)
+        counters = engine.perf_counters()
+        engine.stop()
+        return rate, counters
+
+    cold_rate, _ = run(False)
+    warm_rate, warm_counters = run(True)
+    reused = warm_counters.get("prefix_cache_reused_tokens", 0)
+    log(
+        f"multi-turn 13x{LINEAGES}: cold {cold_rate:.0f} tok/s, warm {warm_rate:.0f} "
+        f"tok/s ({warm_rate / max(cold_rate, 1e-9):.2f}x), reused {reused} prefix tokens"
+    )
+    return {
+        "multiturn_speedup": warm_rate / max(cold_rate, 1e-9),
+        "multiturn_reused_tokens": int(reused),
+        "multiturn_tok_per_sec": warm_rate,
+    }
+
+
+def bench_train_step(params, model_cfg, n_params, seqlen, attn_impl, label) -> tuple[float, float]:
+    """Packed-sequence RL grad+optimizer step throughput (tokens/s/chip)."""
     import jax
     import jax.numpy as jnp
     import optax
 
     from pipelinerl_tpu.train.rl_loss import RLLossConfig, rl_loss
 
-    L_SEQ = int(os.environ.get("BENCH_TRAIN_SEQLEN", 4096))
-    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
     loss_cfg = RLLossConfig(policy_loss="reinforce", batch_size=8, max_segments=64)
     optimizer = optax.adamw(1e-5)
     opt_state = jax.jit(optimizer.init)(params)
 
     rng = np.random.default_rng(1)
+    L_SEQ = seqlen
     ids = rng.integers(1, 100_000, (1, L_SEQ)).astype(np.int32)
     seg = (np.arange(L_SEQ) // (L_SEQ // 8)).astype(np.int32)[None]
     pos = (np.arange(L_SEQ) % (L_SEQ // 8)).astype(np.int32)[None]
     batch = {
         "input_ids": jnp.asarray(ids),
-        "labels": jnp.asarray(ids),  # every position contributes loss
+        "labels": jnp.asarray(ids),
         "position_ids": jnp.asarray(pos),
         "segment_ids": jnp.asarray(seg),
         "rewards": jnp.ones((1, L_SEQ), jnp.float32),
@@ -261,7 +518,7 @@ def bench_train_step(params, model_cfg) -> tuple[float, float]:
         def loss_fn(pp):
             return rl_loss(
                 pp, model_cfg, loss_cfg, b, jnp.zeros(()), 100, jnp.zeros(()),
-                remat=True,
+                remat=True, attn_impl=attn_impl,
             )
 
         (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(p)
@@ -269,23 +526,168 @@ def bench_train_step(params, model_cfg) -> tuple[float, float]:
         return optax.apply_updates(p, updates), o2, loss
 
     t0 = time.monotonic()
-    params, opt_state, loss = train_step(params, opt_state, batch)
+    p2, opt_state, loss = train_step(params, opt_state, batch)
     jax.block_until_ready(loss)
-    log(f"train-step compile took {time.monotonic() - t0:.1f}s")
+    log(f"train-step[{label}] compile took {time.monotonic() - t0:.1f}s")
     best = float("inf")
-    for _ in range(5):
+    for _ in range(4):
         t0 = time.monotonic()
-        params, opt_state, loss = train_step(params, opt_state, batch)
+        p2, opt_state, loss = train_step(p2, opt_state, batch)
         jax.block_until_ready(loss)
         best = min(best, time.monotonic() - t0)
+    del p2, opt_state
     tok_per_sec = L_SEQ / best
-    # fwd 2 + bwd 4 ≈ 6 × params FLOPs per token
     mfu = tok_per_sec * 6 * n_params / (V5E_BF16_TFLOPS * 1e12)
     log(
-        f"train step: {1000 * best:.1f} ms @ L={L_SEQ} → {tok_per_sec:.0f} "
+        f"train step[{label}]: {1000 * best:.1f} ms @ L={L_SEQ} → {tok_per_sec:.0f} "
         f"tokens/s/chip (train MFU {100 * mfu:.1f}%)"
     )
     return tok_per_sec, mfu
+
+
+def bench_7b_smoke() -> dict:
+    """Qwen2.5-7B-shaped engine on the real chip: bf16 weights (~14.2 GB)
+    fit v5e HBM; compile prefill+decode and measure a window at bs8
+    (BASELINE's 7B-on-v5e-16 target stops being hypothetical — VERDICT
+    round-2 missing #8)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pipelinerl_tpu.inference import EngineConfig, GenRequest, InferenceEngine, SamplingParams
+    from pipelinerl_tpu.models.transformer import ModelConfig, init_params
+
+    if jax.default_backend() != "tpu":
+        return {}
+    cfg7 = ModelConfig(
+        vocab_size=152_064,
+        hidden_size=3584,
+        intermediate_size=18944,
+        num_layers=28,
+        num_heads=28,
+        num_kv_heads=4,
+        head_dim=128,
+        rope_theta=1_000_000.0,
+        attention_bias=True,
+        dtype=jnp.bfloat16,
+    )
+    t0 = time.monotonic()
+    # init directly on device (jit) — no 14 GB host->device transfer
+    params7 = jax.jit(lambda k: init_params(k, cfg7))(jax.random.key(1))
+    jax.block_until_ready(params7)
+    n7 = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params7))
+    log(f"7B init on device: {n7 / 1e9:.2f}B params in {time.monotonic() - t0:.1f}s")
+    engine = InferenceEngine(
+        params7,
+        cfg7,
+        EngineConfig(
+            max_slots=8,
+            max_len=512,
+            prefill_buckets=(128,),
+            cache_dtype=jnp.bfloat16,
+            decode_window=16,
+            window_pipeline_depth=2,
+            kv_layout="slab",
+        ),
+        eos_token_id=-1,
+    )
+    rng = np.random.default_rng(5)
+    t0 = time.monotonic()
+    futures = _submit(engine, rng, 128, 64, 8)
+    for _ in range(4):
+        engine.step()
+    compile_s = time.monotonic() - t0
+    gen0, steps0 = engine.total_generated_tokens, engine.decode_steps
+    t0 = time.monotonic()
+    _drain(engine, futures)
+    elapsed = time.monotonic() - t0
+    gen = engine.total_generated_tokens - gen0
+    rate = gen / elapsed
+    log(f"7B decode @bs8: {rate:.0f} tok/s ({compile_s:.0f}s compile+prefill)")
+    engine.stop()
+    del engine, params7
+    return {"b7_decode_tok_per_sec_bs8": rate, "b7_params": n7}
+
+
+def main() -> None:
+    import jax
+
+    from pipelinerl_tpu.utils import enable_compilation_cache
+
+    cache_dir = enable_compilation_cache()
+    log(f"compilation cache: {cache_dir}")
+    dev = jax.devices()[0]
+    log(f"device: {dev} platform={dev.platform}")
+
+    params, model_cfg = _bench_model()
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    param_bytes = sum(
+        int(np.prod(p.shape)) * p.dtype.itemsize for p in jax.tree.leaves(params)
+    )
+    log(f"model: {n_params / 1e6:.0f}M params, {param_bytes / 1e9:.2f} GB")
+
+    eng = bench_engine(params, model_cfg, param_bytes, n_params)
+    longctx = bench_long_context(params, model_cfg)
+    paged = bench_paged(params, model_cfg)
+    multiturn = bench_multiturn(params, model_cfg)
+
+    train_tok, train_mfu = bench_train_step(
+        params, model_cfg, n_params,
+        int(os.environ.get("BENCH_TRAIN_SEQLEN", 4096)), "xla", "4k",
+    )
+    # 16k long-context trainer point: the splash flash kernel (what a
+    # single-chip 16k trainer runs; cp shards 32k across chips). The
+    # blockwise kernel's 16-block scan at L=16k crashed the TPU compiler
+    # (round-3 try: tpu_compile_helper exit 1) — it is the shard_map/CP
+    # building block, not the single-chip path.
+    try:
+        t16_tok, t16_mfu = bench_train_step(
+            params, model_cfg, n_params, 16384, "flash", "16k-flash"
+        )
+    except Exception as e:  # noqa: BLE001
+        log(f"16k train point failed: {e}")
+        t16_tok, t16_mfu = 0.0, 0.0
+
+    b7 = {}
+    if os.environ.get("BENCH_7B", "1") != "0":
+        try:
+            b7 = bench_7b_smoke()
+        except Exception as e:  # noqa: BLE001 — smoke must not sink the bench
+            log(f"7B smoke failed: {e}")
+
+    print(
+        json.dumps(
+            {
+                "metric": "decode_tokens_per_sec_per_chip_0.5b_bs64",
+                "value": round(eng["tok_per_sec"], 1),
+                "unit": "tokens/s",
+                "vs_baseline": round(eng["tok_per_sec"] / ROUND1_TOKS_PER_SEC, 3),
+                "hbm_roofline_frac": round(eng["hbm_util"], 3),
+                "mfu": round(eng["mfu"], 4),
+                "grouped_rollout_tokens_per_sec": round(eng["group_tok_per_sec"], 1),
+                "continuous_stream_tokens_per_sec": round(eng["stream_tok_per_sec"], 1),
+                "continuous_stream_waste_frac": round(eng["stream_waste_frac"], 4),
+                "warmup_compile_s": round(eng["warmup_s"], 1),
+                "speculation_waste_frac": round(eng["speculation_waste_frac"], 4),
+                "decode_attn_impl": eng["decode_attn_impl"],
+                "utilization_during_update": round(eng["utilization_during_update"], 3),
+                **{k: round(v, 2) for k, v in longctx.items()},
+                "paged_throughput_frac": round(paged["paged_throughput_frac"], 3),
+                "paged_kv_bytes_frac": round(paged["paged_kv_bytes_frac"], 3),
+                "paged_tok_per_sec": round(paged["paged_tok_per_sec"], 1),
+                "multiturn_prefix_speedup": round(multiturn["multiturn_speedup"], 3),
+                "multiturn_reused_tokens": multiturn["multiturn_reused_tokens"],
+                "train_tokens_per_sec_per_chip": round(train_tok, 1),
+                "train_mfu": round(train_mfu, 4),
+                "train16k_tokens_per_sec_per_chip": round(t16_tok, 1),
+                "train16k_mfu": round(t16_mfu, 4),
+                **{
+                    k: (round(v, 1) if isinstance(v, float) else v)
+                    for k, v in b7.items()
+                },
+            }
+        ),
+        flush=True,
+    )
 
 
 if __name__ == "__main__":

@@ -137,4 +137,114 @@ class BlockPool:
                 assert self.refs[b] == 0, f"free page {b} has refs"
         live = self.table[self.table >= 0]
         counts = np.bincount(live, minlength=self.n_blocks)
-        assert (counts == self.refs).all(), "refcounts diverge from table"
+        # refs may exceed table counts: the prefix cache holds pages that
+        # appear in no slot's table (PrefixCache entries own one ref each)
+        assert (counts <= self.refs).all(), "refcounts diverge from table"
+
+    # ------------------------------------------------------------------
+    def attach(self, slot: int, pages: np.ndarray) -> None:
+        """Reference an existing page run as the slot's prefix (cross-turn
+        prefix reuse): refcount++ each page, table rows 0..len(pages). The
+        slot must not append into these pages — appends start at the first
+        position past the attached prefix, which lands in a NEW page."""
+        assert self.slot_blocks[slot] == 0, f"slot {slot} still holds blocks"
+        n = len(pages)
+        if n > self.max_blocks_per_slot:
+            raise OutOfBlocks("prefix exceeds max pages per slot")
+        self.refs[pages] += 1
+        self.table[slot, :n] = pages
+        self.slot_blocks[slot] = n
+
+    def ref_pages(self, pages: np.ndarray) -> None:
+        self.refs[pages] += 1
+
+    def unref_pages(self, pages: np.ndarray) -> None:
+        for b in pages:
+            b = int(b)
+            self.refs[b] -= 1
+            assert self.refs[b] >= 0, f"negative refcount on page {b}"
+            if self.refs[b] == 0:
+                self._free.append(b)
+
+
+class PrefixCache:
+    """Page-aligned prefix reuse across requests (the role vLLM's radix
+    prefix cache plays for the reference, SURVEY.md §2.4). A finished
+    request's full pages are registered under a hash of their token prefix;
+    a later request whose prompt extends that transcript reattaches the
+    pages and prefills only the tail — turn N+1 of a multi-turn rollout
+    stops re-prefilling turns 1..N.
+
+    Reused KV was computed under the weights current at ITS decode time —
+    exactly the in-flight-update staleness PipelineRL embraces within one
+    generation (a reattached conversation behaves like one long generation
+    spanning weight versions).
+
+    Entries hold one refcount on each page (via the pool) and are evicted
+    LRU when the pool runs dry or the cache exceeds ``max_pages``."""
+
+    def __init__(self, pool: BlockPool, max_pages: int | None = None):
+        from collections import OrderedDict
+
+        self.pool = pool
+        self.max_pages = max_pages if max_pages is not None else pool.n_blocks // 2
+        self._entries: "OrderedDict[tuple, np.ndarray]" = OrderedDict()
+        self._pages_held = 0
+        self.hits = 0
+        self.reused_tokens = 0
+
+    @staticmethod
+    def _key(tokens, n_pages: int, block_size: int) -> tuple:
+        return (n_pages, hash(tuple(tokens[: n_pages * block_size])))
+
+    def register(self, tokens, table_row: np.ndarray) -> None:
+        """Register the longest full-page prefix of a finished sequence.
+        ``table_row`` is the slot's page table (still referenced by the slot
+        — call before pool.release)."""
+        BT = self.pool.block_size
+        n_pages = len(tokens) // BT
+        if n_pages == 0:
+            return
+        key = self._key(tokens, n_pages, BT)
+        if key in self._entries:
+            self._entries.move_to_end(key)
+            return
+        pages = np.asarray(table_row[:n_pages], np.int32).copy()
+        self.pool.ref_pages(pages)
+        self._entries[key] = pages
+        self._pages_held += n_pages
+        while self._pages_held > self.max_pages and len(self._entries) > 1:
+            self._evict_one()
+
+    def lookup(self, tokens) -> tuple[np.ndarray, int] | None:
+        """Longest registered page-aligned proper prefix of ``tokens``.
+        Returns (pages, n_prefix_tokens); at least one token is left for the
+        tail prefill (the new request needs last-position logits)."""
+        BT = self.pool.block_size
+        max_pages = (len(tokens) - 1) // BT
+        for n_pages in range(max_pages, 0, -1):
+            key = self._key(tokens, n_pages, BT)
+            entry = self._entries.get(key)
+            if entry is not None:
+                self._entries.move_to_end(key)
+                self.hits += 1
+                self.reused_tokens += n_pages * BT
+                return entry, n_pages * BT
+        return None
+
+    def _evict_one(self) -> int:
+        key, pages = self._entries.popitem(last=False)
+        self.pool.unref_pages(pages)
+        self._pages_held -= len(pages)
+        return len(pages)
+
+    def evict_for(self, n_pages_needed: int) -> bool:
+        """Evict LRU entries until the pool has ``n_pages_needed`` free.
+        Returns True if satisfied."""
+        while self.pool.free_blocks < n_pages_needed and self._entries:
+            self._evict_one()
+        return self.pool.free_blocks >= n_pages_needed
+
+    @property
+    def pages_held(self) -> int:
+        return self._pages_held

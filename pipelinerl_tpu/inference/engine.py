@@ -69,12 +69,12 @@ class EngineConfig:
     # attention implementation for prefill/score forwards: "xla" | "flash"
     attn_impl: str = "xla"
     # decode-window cache attention: "auto" | "xla" | "ragged" (Pallas
-    # kernel). Measured on v5e (BENCH r02): at short context (≤512) and
-    # max_slots≤64 the batched XLA path wins (3.9 vs 6.1 ms/step — the
-    # ragged kernel's per-slot grid with G=7-row matmuls underuses the MXU
-    # and there are no beyond-length blocks to skip); ragged wins when
-    # per-slot lengths are long and ragged (cache streaming + block skip).
-    # "auto" picks xla below 1k mean capacity, ragged above, on TPU.
+    # kernel). Measured on v5e: the batched XLA path wins at short context
+    # (3.9 vs 6.1 ms/step @ ctx<=512, BENCH r02) AND at long ragged context
+    # (2.98 vs 6.11 ms/step @ 1-3.5k mixed lengths, max_len 4096, BENCH
+    # r03) — the ragged kernel's per-slot grid with G=7-row matmuls
+    # underuses the MXU more than its block skipping saves. "auto" therefore
+    # resolves to xla; "ragged" stays available for explicit use.
     decode_attn_impl: str = "auto"
     # same-bucket admissions prefill together (batch sizes 8/4/2/1 up to
     # this cap); batch-1 prefill is weight-read-bound, so this matters
@@ -100,9 +100,17 @@ class EngineConfig:
     # "paged" allocates fixed-size pages from a shared pool (the vLLM paged
     # attention role, SURVEY.md §2.4) — HBM holds only tokens that exist,
     # GRPO forks share the prompt's full pages, and admission reserves
-    # prompt+max_tokens pages up front (no mid-flight OOM / preemption)
-    kv_layout: str = "slab"
+    # prompt+max_tokens pages up front (no mid-flight OOM / preemption).
+    # "auto" picks paged at long context (max_len >= 4096, where slab
+    # reservation waste dominates) and slab below.
+    kv_layout: str = "auto"
     kv_block_size: int = 128  # tokens per page
+    # cross-request prefix reuse (paged only): finished transcripts'
+    # full pages are kept in a hash-keyed LRU cache so a later request
+    # extending them (turn N+1 of a conversation) reattaches the pages and
+    # prefills only the tail — the reference gets this from vLLM's prefix
+    # caching (SURVEY.md §2.4)
+    prefix_cache: bool = True
     # pool size in pages; None sizes it to slab parity (S × ⌈max_len/page⌉) —
     # set smaller to cap KV memory or larger to admit more long-tail work
     kv_pool_blocks: int | None = None
@@ -162,6 +170,11 @@ class _Slot:
     # (it rides along in the next window's packed output); set False once
     # the token reaches the slot's transcript
     pending_first: bool = True
+    # True once a decode window has been DISPATCHED for this occupant: only
+    # the first dispatch may override the device token carry with the
+    # prefill first_info — later windows chain the device carry (sync lags
+    # dispatch by depth-1 windows, so pending_first alone is too stale)
+    first_dispatched: bool = False
     # monotonically increasing slot-assignment id: guards pipelined windows
     # against delivering a previous occupant's tokens to a new request
     gen: int = 0
@@ -203,6 +216,8 @@ class InferenceEngine:
         self.vision_params = vision_params
         self.vision_cfg = vision_cfg
         self._pending_params: tuple[dict, int] | None = None
+        self._pending_host_params: tuple[dict, int] | None = None
+        self._stream_state: list | None = None
         self._pending_vision: dict | None = None
         self._params_lock = threading.Lock()
 
@@ -214,24 +229,10 @@ class InferenceEngine:
         T_alloc = T + max(1, cfg.decode_window)
         cache_shape = (L, S, T_alloc, K, Dh)
 
-        self.paged = cfg.kv_layout == "paged"
-        if self.paged:
-            if cfg.tp > 1 or cfg.pp > 1:
-                raise ValueError("kv_layout=paged does not support tp/pp>1 yet")
-            if vision_params is not None:
-                raise ValueError("kv_layout=paged does not support VLM yet")
-            from .block_pool import BlockPool
-
-            BT = cfg.kv_block_size
-            maxb = -(-T_alloc // BT)
-            NB = cfg.kv_pool_blocks or S * maxb
-            self.block_pool = BlockPool(
-                n_blocks=NB, block_size=BT, max_blocks_per_slot=maxb, n_slots=S
-            )
-            self.k_pool = jnp.zeros((L, NB, BT, K, Dh), cfg.cache_dtype)
-            self.v_pool = jnp.zeros((L, NB, BT, K, Dh), cfg.cache_dtype)
-            # per-slot page capacity in tokens (reserved at admission)
-            self._slot_capacity = np.zeros(S, np.int64)
+        layout = cfg.kv_layout
+        if layout == "auto":
+            layout = "paged" if cfg.max_len >= 4096 else "slab"
+        self.paged = layout == "paged"
 
         self.mesh = None
         if cfg.tp > 1 or cfg.pp > 1:
@@ -243,13 +244,35 @@ class InferenceEngine:
                 raise ValueError(f"num_layers {L} not divisible by pp={cfg.pp}")
             self.mesh = make_mesh(n_devices=cfg.tp * cfg.pp, tp=cfg.tp, pp=cfg.pp)
             self.params = shard_params(self.params, self.mesh)
-            # KV cache [L, S, T, K, Dh]: layer dim over pp stages, kv heads
-            # over tp (replicated when K doesn't divide)
+            # KV cache [L, S, T, K, Dh] / page pool [L, NB, BT, K, Dh]:
+            # layer dim over pp stages, kv heads over tp (replicated when K
+            # doesn't divide)
             cache_spec = P(
                 "pp", None, None, "tp" if K % cfg.tp == 0 else None, None
             )
             self._cache_sharding = NamedSharding(self.mesh, cache_spec)
-        if not self.paged:
+
+        if self.paged:
+            from .block_pool import BlockPool, PrefixCache
+
+            BT = cfg.kv_block_size
+            maxb = -(-T_alloc // BT)
+            NB = cfg.kv_pool_blocks or S * maxb
+            self.block_pool = BlockPool(
+                n_blocks=NB, block_size=BT, max_blocks_per_slot=maxb, n_slots=S
+            )
+            self.k_pool = jnp.zeros((L, NB, BT, K, Dh), cfg.cache_dtype)
+            self.v_pool = jnp.zeros((L, NB, BT, K, Dh), cfg.cache_dtype)
+            if self.mesh is not None:
+                self.k_pool = jax.device_put(self.k_pool, self._cache_sharding)
+                self.v_pool = jax.device_put(self.v_pool, self._cache_sharding)
+            # per-slot page capacity in tokens (reserved at admission)
+            self._slot_capacity = np.zeros(S, np.int64)
+            self.prefix_cache = (
+                PrefixCache(self.block_pool) if cfg.prefix_cache else None
+            )
+            self._prefill_extend_fns: dict[tuple[int, int], Any] = {}
+        else:
             self.k_cache = jnp.zeros(cache_shape, cfg.cache_dtype)
             self.v_cache = jnp.zeros(cache_shape, cfg.cache_dtype)
             if self.mesh is not None:
@@ -293,11 +316,8 @@ class InferenceEngine:
             self._window_sizes = [window]
         decode_attn = cfg.decode_attn_impl
         if decode_attn == "auto":
-            decode_attn = (
-                "ragged"
-                if jax.default_backend() == "tpu" and cfg.max_len >= 1024
-                else "xla"
-            )
+            # xla wins at every measured context point (see EngineConfig)
+            decode_attn = "xla"
         self.decode_attn_impl = decode_attn
         self._decode_attn = decode_attn
         self._decode_fns: dict[tuple[int, bool], Any] = {}
@@ -315,6 +335,10 @@ class InferenceEngine:
         # device; fetched as row 0 of the packed window output (zero extra
         # device->host round trips per admission)
         self.first_info = jnp.zeros((S, 2), jnp.int32)
+        # device-resident last sampled token per slot: each decode window
+        # starts from the PREVIOUS window's device carry, not the host's
+        # (depth-1)-stale view; fresh slots are overridden via pending_mask
+        self._device_tokens = jnp.zeros((S,), jnp.int32)
         if self.paged:
             self._prefill = jax.jit(
                 partial(_prefill_paged_fn, model_cfg, cfg.attn_impl),
@@ -392,11 +416,28 @@ class InferenceEngine:
         the incoming tree is resharded onto the engine mesh (a device-to-
         device transfer — the reference's NCCL broadcast plane collapses to
         this device_put). A tree carrying a trained ``vision_tower``
-        (finetune.train_vision_tower) also refreshes the engine's tower."""
+        (finetune.train_vision_tower) also refreshes the engine's tower.
+
+        HOST-side trees (numpy leaves, e.g. a deserialized HTTP push) are
+        STREAMED: the engine thread transfers a bounded number of bytes
+        between decode windows instead of one multi-GB atomic device_put —
+        an atomic transfer monopolizes the host->device link and stalls
+        decode for its full duration (round-3 bench measured utilization
+        0.00 during a 1.26 GB push; the BASELINE north star is >= 0.9)."""
         vision_tower = None
         if "vision_tower" in params:
             params = dict(params)
             vision_tower = params.pop("vision_tower")
+        is_host_tree = all(
+            isinstance(leaf, np.ndarray) for leaf in jax.tree.leaves(params)
+        )
+        if is_host_tree and self.mesh is None:
+            with self._params_lock:
+                self._pending_host_params = (params, version)
+                if vision_tower is not None:
+                    self._pending_vision = vision_tower
+            self._work_event.set()
+            return
         if self.mesh is not None:
             from ..parallel import shard_params
 
@@ -463,6 +504,15 @@ class InferenceEngine:
                 {
                     "kv_pages_free": self.block_pool.free_blocks,
                     "kv_pages_total": self.block_pool.n_blocks,
+                    **(
+                        {
+                            "prefix_cache_hits": self.prefix_cache.hits,
+                            "prefix_cache_reused_tokens": self.prefix_cache.reused_tokens,
+                            "prefix_cache_pages": self.prefix_cache.pages_held,
+                        }
+                        if self.prefix_cache is not None
+                        else {}
+                    ),
                 }
                 if self.paged
                 else {}
@@ -491,12 +541,47 @@ class InferenceEngine:
         with self._params_lock:
             pending = self._pending_params
             pending_vision = self._pending_vision
+            pending_host = self._pending_host_params
             self._pending_params = None
             self._pending_vision = None
+            if pending_host is not None:
+                # a newer host push supersedes any in-progress stream
+                self._pending_host_params = None
+                self._stream_state = None
         if pending is not None:
             self.params, self.version = pending
+            self._stream_state = None  # device push supersedes a stream
         if pending_vision is not None:
             self.vision_params = pending_vision
+        if pending_host is not None:
+            leaves, treedef = jax.tree.flatten(pending_host[0])
+            self._stream_state = [leaves, treedef, pending_host[1], 0, []]
+        self._stream_chunk()
+
+    # transfer budget per scheduling iteration for streamed host pushes:
+    # small enough that decode windows interleave, large enough to finish a
+    # 0.5B push within a few dozen windows
+    _STREAM_CHUNK_BYTES = 64 * 1024 * 1024
+
+    def _stream_chunk(self) -> None:
+        """Transfer up to _STREAM_CHUNK_BYTES of a pending host-side weight
+        push, then return to decoding; swap once every leaf has landed."""
+        st = self._stream_state
+        if st is None:
+            return
+        leaves, treedef, version, idx, done = st
+        budget = self._STREAM_CHUNK_BYTES
+        while idx < len(leaves) and budget > 0:
+            leaf = leaves[idx]
+            done.append(jax.device_put(leaf))
+            budget -= leaf.nbytes
+            idx += 1
+        if idx >= len(leaves):
+            self.params = jax.tree.unflatten(treedef, done)
+            self.version = version
+            self._stream_state = None
+        else:
+            st[3] = idx
 
     def _next_rng(self) -> jax.Array:
         self._rng, sub = jax.random.split(self._rng)
@@ -527,11 +612,16 @@ class InferenceEngine:
             # FIFO fit check against the page pool: admit the longest prefix
             # of the queue whose reservations (prompt + max_tokens + window,
             # forks conservatively counted like primaries) fit; requeue the
-            # rest in order — admission never OOMs mid-flight
+            # rest in order — admission never OOMs mid-flight. Prefix-cache
+            # pages are evicted LRU before giving up on an admission.
             budget = self.block_pool.free_blocks
             fit = 0
             for request, _ in pairs:
                 need = self.block_pool.blocks_for(self._reserve_tokens(request))
+                if need > budget and self.prefix_cache is not None:
+                    before = self.block_pool.free_blocks
+                    self.prefix_cache.evict_for(before + (need - budget))
+                    budget += self.block_pool.free_blocks - before
                 if need > budget:
                     break
                 budget -= need
@@ -558,6 +648,7 @@ class InferenceEngine:
         # group primaries by prefill bucket
         by_bucket: dict[int, list] = {}
         vlm_entries: list[list] = []
+        extend_entries: list[tuple] = []
         for prompt, members in clusters.items():
             primary_slot = next(slot_iter)
             request, future = members[0]
@@ -566,8 +657,16 @@ class InferenceEngine:
             entry = [primary_slot, request, future, members[1:], [next(slot_iter) for _ in members[1:]]]
             if request.visual is not None:
                 vlm_entries.append([bucket] + entry)
+                continue
+            hit = None
+            if self.paged and self.prefix_cache is not None:
+                hit = self.prefix_cache.lookup(request.prompt_ids)
+            if hit is not None:
+                extend_entries.append((entry, *hit))
             else:
                 by_bucket.setdefault(bucket, []).append(entry)
+        for entry, pages, n_prefix in extend_entries:
+            self._prefill_extend(entry, pages, n_prefix)
         for bucket, *entry in vlm_entries:
             self._prefill_vlm(bucket, entry)
         for bucket, group in by_bucket.items():
@@ -589,8 +688,15 @@ class InferenceEngine:
         fn = self._decode_fns.get(key)
         if fn is None:
             if self.paged:
+                # under a tp/pp mesh the XLA paged path partitions via GSPMD
+                # (the Pallas kernel is single-device); explicit "xla" also
+                # honors the operator's choice
+                use_xla = self.mesh is not None or self._decode_attn == "xla"
                 fn = jax.jit(
-                    partial(_decode_window_paged_fn, self.model_cfg, masked, n_steps),
+                    partial(
+                        _decode_window_paged_fn, self.model_cfg, masked,
+                        n_steps, use_xla,
+                    ),
                     donate_argnums=(1, 2),
                 )
             else:
@@ -725,6 +831,82 @@ class InferenceEngine:
                 gen=self._gen_counter,
             )
 
+    def _prefill_extend(self, entry: list, pages, n_prefix: int) -> None:
+        """Admit one cluster whose prompt extends a cached transcript: attach
+        the shared prefix pages (refcount++), reserve the tail's pages, and
+        prefill ONLY the tail against the gathered prefix KV
+        (_prefill_extend_fn). Identical-prompt siblings still fork off the
+        primary afterwards."""
+        slot, request, future, siblings, sibling_slots = entry
+        ids = request.prompt_ids
+        tail = ids[n_prefix:]
+        tail_len = len(tail)
+        tail_bucket = next(b for b in self.buckets if b >= tail_len)
+        pages = np.asarray(pages, np.int32)
+        self.block_pool.attach(slot, pages)
+        reserve = self._reserve_tokens(request)
+        self.block_pool.extend(slot, reserve)
+        self._slot_capacity[slot] = reserve
+
+        # pad the prefix pages to a power-of-two bucket (bounded compiles);
+        # pad entries repeat a valid id and are masked via prefix_len
+        pb = 1
+        while pb < len(pages):
+            pb <<= 1
+        pad_pages = np.full(pb, pages[-1], np.int32)
+        pad_pages[: len(pages)] = pages
+        padded = np.zeros((1, tail_bucket), np.int32)
+        padded[0, :tail_len] = tail
+
+        key = (tail_bucket, pb)
+        fn = self._prefill_extend_fns.get(key)
+        if fn is None:
+            fn = jax.jit(
+                partial(_prefill_extend_fn, self.model_cfg, pb),
+                donate_argnums=(1, 2, 3, 4),
+            )
+            self._prefill_extend_fns[key] = fn
+        p = request.params
+        (
+            self.k_pool,
+            self.v_pool,
+            self.cache_lens,
+            self.first_info,
+            last_logits,
+            self._rng_device,
+        ) = fn(
+            self.params,
+            self.k_pool,
+            self.v_pool,
+            self.cache_lens,
+            self.first_info,
+            jnp.asarray(padded),
+            jnp.asarray(np.asarray([tail_len], np.int32)),
+            jnp.asarray(n_prefix, jnp.int32),
+            jnp.asarray(np.asarray([slot], np.int32)),
+            jnp.asarray(pad_pages),
+            jnp.asarray(self.block_pool.table[[slot]]),
+            self._rng_device,
+            jnp.asarray([p.temperature], np.float32),
+            jnp.asarray([p.top_p], np.float32),
+            jnp.asarray([p.top_k], np.int32),
+        )
+        self.total_prefill_tokens += tail_len
+        self.prefill_reused_tokens += n_prefix
+        max_new = min(p.max_tokens, self.cfg.max_len - len(ids))
+        self._gen_counter += 1
+        self._pos_delta[slot] = 0
+        self._slots[slot] = _Slot(
+            request=request,
+            future=future,
+            version_start=self.version,
+            max_new_tokens=max_new,
+            pending_first=True,
+            gen=self._gen_counter,
+        )
+        if siblings:
+            self._fork_slots(slot, last_logits[0], siblings, sibling_slots)
+
     def _prefill_vlm(self, bucket: int, entry: list) -> None:
         """Admit one VLM cluster: encode pixels with the frozen vision tower,
         prefill the primary slot with spliced visual tokens + mrope
@@ -762,32 +944,8 @@ class InferenceEngine:
         pos_p[:, 0, n:] = pos3.max() + 1 + np.arange(bucket - n, dtype=np.int32)
         image_mask = padded == int(self.model_cfg.image_token_id)
 
-        key = (bucket, N_b)
-        fn = self._prefill_vlm_fns.get(key)
-        if fn is None:
-            fn = jax.jit(
-                partial(_prefill_vlm_fn, self.model_cfg, self.cfg.attn_impl, vcfg),
-                donate_argnums=(2, 3, 4, 5),
-            )
-            self._prefill_vlm_fns[key] = fn
         p = request.params
-        (
-            self.k_cache,
-            self.v_cache,
-            self.cache_lens,
-            self.first_info,
-            last_logits,
-            self._rng_device,
-        ) = fn(
-            self.params,
-            self.vision_params,
-            self.k_cache,
-            self.v_cache,
-            self.cache_lens,
-            self.first_info,
-            jnp.asarray(padded),
-            jnp.asarray(np.asarray([n], np.int32)),
-            jnp.asarray(np.asarray([slot], np.int32)),
+        common_tail = (
             jnp.asarray(pos_p),
             jnp.asarray(vin["patches"]),
             jnp.asarray(vin["hw"]),
@@ -800,6 +958,69 @@ class InferenceEngine:
             jnp.asarray([p.top_p], np.float32),
             jnp.asarray([p.top_k], np.int32),
         )
+        if self.paged:
+            reserve = self._reserve_tokens(request)
+            self.block_pool.allocate(slot, reserve)
+            self._slot_capacity[slot] = reserve
+            key = ("paged", bucket, N_b)
+            fn = self._prefill_vlm_fns.get(key)
+            if fn is None:
+                fn = jax.jit(
+                    partial(
+                        _prefill_vlm_paged_fn, self.model_cfg,
+                        self.cfg.attn_impl, vcfg,
+                    ),
+                    donate_argnums=(2, 3, 4, 5),
+                )
+                self._prefill_vlm_fns[key] = fn
+            (
+                self.k_pool,
+                self.v_pool,
+                self.cache_lens,
+                self.first_info,
+                last_logits,
+                self._rng_device,
+            ) = fn(
+                self.params,
+                self.vision_params,
+                self.k_pool,
+                self.v_pool,
+                self.cache_lens,
+                self.first_info,
+                jnp.asarray(padded),
+                jnp.asarray(np.asarray([n], np.int32)),
+                jnp.asarray(np.asarray([slot], np.int32)),
+                jnp.asarray(self.block_pool.table[[slot]]),
+                *common_tail,
+            )
+        else:
+            key = (bucket, N_b)
+            fn = self._prefill_vlm_fns.get(key)
+            if fn is None:
+                fn = jax.jit(
+                    partial(_prefill_vlm_fn, self.model_cfg, self.cfg.attn_impl, vcfg),
+                    donate_argnums=(2, 3, 4, 5),
+                )
+                self._prefill_vlm_fns[key] = fn
+            (
+                self.k_cache,
+                self.v_cache,
+                self.cache_lens,
+                self.first_info,
+                last_logits,
+                self._rng_device,
+            ) = fn(
+                self.params,
+                self.vision_params,
+                self.k_cache,
+                self.v_cache,
+                self.cache_lens,
+                self.first_info,
+                jnp.asarray(padded),
+                jnp.asarray(np.asarray([n], np.int32)),
+                jnp.asarray(np.asarray([slot], np.int32)),
+                *common_tail,
+            )
         self.total_prefill_tokens += n
         max_new = min(p.max_tokens, self.cfg.max_len - n)
         self._gen_counter += 1
@@ -941,6 +1162,19 @@ class InferenceEngine:
         assert state is not None
         self._slots[slot] = None
         if self.paged:
+            if (
+                self.prefix_cache is not None
+                and state.request.visual is None
+                and self._pos_delta[slot] == 0
+                and state.token_ids
+            ):
+                # register the transcript's full pages for cross-request
+                # reuse (in-flight windows only touch positions past the true
+                # length — never inside registered full pages)
+                self.prefix_cache.register(
+                    state.request.prompt_ids + state.token_ids,
+                    self.block_pool.table[slot],
+                )
             # safe while windows are in flight: they captured the table at
             # dispatch and anything written to reallocated pages lands before
             # (device program order) the new occupant's prefill
@@ -964,29 +1198,32 @@ class InferenceEngine:
         sync, (depth-1) windows behind dispatch."""
         S = self.cfg.max_slots
         active = np.zeros(S, np.bool_)
-        tokens = np.zeros(S, np.int32)
         gens = np.zeros(S, np.int64)
         temperature = np.ones(S, np.float32)
         top_p = np.ones(S, np.float32)
         top_k = np.zeros(S, np.int32)
         needs_masking = False
         pending: list[int] = []
-        min_remaining = 1 << 30
+        fresh: list[int] = []
+        remainings: list[int] = []
         for i, s in enumerate(self._slots):
             if s is None:
                 continue
             active[i] = True
-            tokens[i] = s.last_token
             gens[i] = s.gen
             if s.pending_first:
                 pending.append(i)
+            if not s.first_dispatched:
+                fresh.append(i)
+                s.first_dispatched = True
             # remaining token budget (tokens in in-flight windows not yet
             # counted — the consume path enforces the exact cut). A pending
             # prefill-sampled first token is already produced but not yet in
             # token_ids; it rides this window's packed output, so it spends
             # one budget unit before any of this window's steps land.
-            remaining = s.max_new_tokens - len(s.token_ids) - (1 if s.pending_first else 0)
-            min_remaining = min(min_remaining, remaining)
+            remainings.append(
+                s.max_new_tokens - len(s.token_ids) - (1 if s.pending_first else 0)
+            )
             p = s.request.params
             temperature[i] = p.temperature
             top_p[i] = p.top_p
@@ -1001,20 +1238,24 @@ class InferenceEngine:
             return did
 
         pending_mask = np.zeros(S, np.bool_)
-        pending_mask[pending] = True
+        pending_mask[fresh] = True
 
-        # budget-aware window size: the smallest compiled size that covers
-        # the closest-to-budget slot's remaining tokens (speculation past a
-        # known budget is pure waste); certain finishes also drain the
-        # pipeline to depth 1 after dispatch so the freed slot refills
-        # before the next window
+        # budget-aware window size: cover the MEDIAN slot's remaining budget
+        # with the smallest compiled size — near-finish slots recycle a
+        # window sooner (occupancy) and budget overshoot shrinks, while the
+        # long-lived majority keeps large host-sync amortization. Sizing to
+        # the MINIMUM (round-3 first cut) let one near-done slot shrink
+        # everyone's window and, combined with pipeline drains, cost ~25%
+        # throughput on the jittered bench — the drain is gone and the
+        # percentile keeps both effects bounded.
         window = self._window_sizes[-1]
-        if len(self._window_sizes) > 1 and min_remaining < window:
-            window = next(
-                (w for w in self._window_sizes if w >= min_remaining),
-                self._window_sizes[-1],
-            )
-        certain_finish = min_remaining <= window
+        if len(self._window_sizes) > 1 and remainings:
+            med = sorted(remainings)[len(remainings) // 2]
+            if med < window:
+                window = next(
+                    (w for w in self._window_sizes if w >= med),
+                    self._window_sizes[-1],
+                )
         fn = self._decode_fn_for(window, needs_masking)
         if self.paged:
             (
@@ -1023,11 +1264,12 @@ class InferenceEngine:
                 self.v_pool,
                 self.cache_lens,
                 self._rng_device,
+                self._device_tokens,
             ) = fn(
                 self.params,
                 self.k_pool,
                 self.v_pool,
-                jnp.asarray(tokens),
+                self._device_tokens,
                 jnp.asarray(active),
                 jnp.asarray(pending_mask),
                 self.first_info,
@@ -1047,11 +1289,12 @@ class InferenceEngine:
                 self.v_cache,
                 self.cache_lens,
                 self._rng_device,
+                self._device_tokens,
             ) = fn(
                 self.params,
                 self.k_cache,
                 self.v_cache,
-                jnp.asarray(tokens),
+                self._device_tokens,
                 jnp.asarray(active),
                 jnp.asarray(pending_mask),
                 self.first_info,
@@ -1066,8 +1309,7 @@ class InferenceEngine:
         self.window_slots_dispatched += int(active.sum())
         self.window_size_counts[window] = self.window_size_counts.get(window, 0) + 1
         self._windows.append(_Window(packed, active, gens, pending))
-        depth = 1 if certain_finish else max(1, self.cfg.window_pipeline_depth)
-        while len(self._windows) >= depth:
+        while len(self._windows) >= max(1, self.cfg.window_pipeline_depth):
             self._process_window(self._windows.popleft())
         return True
 
@@ -1180,7 +1422,7 @@ def _decode_window_fn(
     params: dict,
     k_cache: jnp.ndarray,  # [L, S, T_alloc, K, Dh]; capacity = T_alloc - n_steps
     v_cache: jnp.ndarray,
-    tokens: jnp.ndarray,  # [S] — host view of last tokens (stale for pending)
+    tokens: jnp.ndarray,  # [S] — device carry of last sampled tokens
     active: jnp.ndarray,  # [S] bool
     pending_mask: jnp.ndarray,  # [S] bool — slots whose true last token is first_info
     first_info: jnp.ndarray,  # [S, 2] int32 — prefill (token, bitcast logprob)
@@ -1249,35 +1491,49 @@ def _decode_window_fn(
     tok_rows = jnp.concatenate([first_info[None, :, 0], win_tokens], axis=0)
     lp_rows = jnp.concatenate([first_info[None, :, 1], lp_bits], axis=0)
     packed = jnp.stack([tok_rows, lp_rows])  # [2, N+1, S]
-    return packed, k_cache, v_cache, cache_lens, rng
+    # ``tokens`` is the final carry: the DEVICE-side last token per slot.
+    # The next window must start from it — the host's view is (depth-1)
+    # windows stale while the pipeline is full (round-3 regression find:
+    # depth-2 continuations silently restarted each window from the
+    # previous window's input, corrupting every multi-window generation).
+    return packed, k_cache, v_cache, cache_lens, rng, tokens
+
+
+def _prefill_last_logits(params, model_cfg, normed_hidden, lengths):
+    """[B, V] fp32 logits of each row's LAST prompt token. Prefill runs the
+    lm_head at ONE position per row — the full [B, P, V] fp32 unembed was
+    the dominant prefill cost (20 GB at bucket 4096 x batch 8, over v5e
+    HBM; round-3 bench OOM)."""
+    from ..models.transformer import lm_head_logits
+
+    last = jnp.take_along_axis(
+        normed_hidden, (lengths - 1)[:, None, None], axis=1
+    )[:, 0]  # [B, D]
+    return lm_head_logits(params, model_cfg, last)
 
 
 def _sample_first_tokens(
-    first_info, logits, lengths, slots, rng, temperature, top_p, top_k
+    first_info, last_logits, slots, rng, temperature, top_p, top_k
 ):
     """Sample each prefilled row's first token on device; returns the
-    updated first_info plus the rows' last-position logits (so identical-
-    prompt siblings can sample their own first token after a KV fork
-    without re-running the prompt, _fork_fn)."""
-    last_logits = jnp.take_along_axis(
-        logits, (lengths - 1)[:, None, None], axis=1
-    )[:, 0]  # [B, V]
+    updated first_info (identical-prompt siblings later sample their own
+    first token from the same last_logits after a KV fork, _fork_fn)."""
     rng, sub = jax.random.split(rng)
     tokens, logprobs = sample_masked(last_logits, sub, temperature, top_p, top_k)
     lp_bits = jax.lax.bitcast_convert_type(logprobs.astype(jnp.float32), jnp.int32)
     first_info = first_info.at[slots].set(
         jnp.stack([tokens.astype(jnp.int32), lp_bits], axis=-1)
     )
-    return first_info, last_logits, rng
+    return first_info, rng
 
 
 def _prefill_commit(
     k_cache, v_cache, cache_lens, first_info,
-    logits, k_new, v_new, lengths, slots, rng, temperature, top_p, top_k,
+    last_logits, k_new, v_new, lengths, slots, rng, temperature, top_p, top_k,
 ):
     """Shared prefill tail: write each row's K/V into its slot's cache
     prefix, record lengths, sample the first token per row on device."""
-    B = logits.shape[0]
+    B = last_logits.shape[0]
     k_block = k_new.astype(k_cache.dtype)
     v_block = v_new.astype(v_cache.dtype)
     for b in range(B):  # B is static (8/4/2/1); unrolled contiguous writes
@@ -1288,8 +1544,8 @@ def _prefill_commit(
             v_cache, v_block[:, b : b + 1], (0, slots[b], 0, 0, 0)
         )
     cache_lens = cache_lens.at[slots].set(lengths)
-    first_info, last_logits, rng = _sample_first_tokens(
-        first_info, logits, lengths, slots, rng, temperature, top_p, top_k
+    first_info, rng = _sample_first_tokens(
+        first_info, last_logits, slots, rng, temperature, top_p, top_k
     )
     return k_cache, v_cache, cache_lens, first_info, last_logits, rng
 
@@ -1313,13 +1569,14 @@ def _prefill_fn(
     B, P = input_ids.shape
     positions = jnp.broadcast_to(jnp.arange(P)[None, :], (B, P))
     segments = jnp.zeros((B, P), jnp.int32)
-    logits, (k_new, v_new) = forward(
+    normed, (k_new, v_new) = forward(
         params, model_cfg, input_ids, positions, segments, return_kv=True,
-        attn_impl=attn_impl,
+        attn_impl=attn_impl, skip_unembed=True,
     )
+    last_logits = _prefill_last_logits(params, model_cfg, normed, lengths)
     return _prefill_commit(
         k_cache, v_cache, cache_lens, first_info,
-        logits, k_new, v_new, lengths, slots, rng, temperature, top_p, top_k,
+        last_logits, k_new, v_new, lengths, slots, rng, temperature, top_p, top_k,
     )
 
 
@@ -1358,14 +1615,122 @@ def _prefill_vlm_fn(
         vision_params, vision_cfg, patches, hw, win_seg, full_seg, inv_perm
     )  # [U_b, D]
     segments = jnp.zeros_like(input_ids)
-    logits, (k_new, v_new) = forward(
+    normed, (k_new, v_new) = forward(
         params, model_cfg, input_ids, positions3, segments, return_kv=True,
         attn_impl=attn_impl, image_embeds=embeds[None], image_mask=image_mask,
+        skip_unembed=True,
     )
+    last_logits = _prefill_last_logits(params, model_cfg, normed, lengths)
     return _prefill_commit(
         k_cache, v_cache, cache_lens, first_info,
-        logits, k_new, v_new, lengths, slots, rng, temperature, top_p, top_k,
+        last_logits, k_new, v_new, lengths, slots, rng, temperature, top_p, top_k,
     )
+
+
+def _prefill_vlm_paged_fn(
+    model_cfg: ModelConfig,
+    attn_impl: str,
+    vision_cfg,
+    params: dict,
+    vision_params: dict,
+    k_pool: jnp.ndarray,  # [L, NB, BT, K, Dh]
+    v_pool: jnp.ndarray,
+    cache_lens: jnp.ndarray,
+    first_info: jnp.ndarray,
+    input_ids: jnp.ndarray,  # [1, P]
+    lengths: jnp.ndarray,  # [1]
+    slots: jnp.ndarray,  # [1]
+    table_rows: jnp.ndarray,  # [1, MAXB]
+    positions3: jnp.ndarray,  # [3, 1, P]
+    patches: jnp.ndarray,
+    hw: jnp.ndarray,
+    win_seg: jnp.ndarray,
+    full_seg: jnp.ndarray,
+    inv_perm: jnp.ndarray,
+    image_mask: jnp.ndarray,
+    rng: jax.Array,
+    temperature: jnp.ndarray,
+    top_p: jnp.ndarray,
+    top_k: jnp.ndarray,
+):
+    """VLM prefill into the paged pool (same tower+splice forward as
+    ``_prefill_vlm_fn``, paged commit instead of slab writes)."""
+    from ..models.vision import vision_forward
+
+    embeds = vision_forward(
+        vision_params, vision_cfg, patches, hw, win_seg, full_seg, inv_perm
+    )
+    segments = jnp.zeros_like(input_ids)
+    normed, (k_new, v_new) = forward(
+        params, model_cfg, input_ids, positions3, segments, return_kv=True,
+        attn_impl=attn_impl, image_embeds=embeds[None], image_mask=image_mask,
+        skip_unembed=True,
+    )
+    last_logits = _prefill_last_logits(params, model_cfg, normed, lengths)
+    return _prefill_commit_paged(
+        k_pool, v_pool, cache_lens, first_info,
+        last_logits, k_new, v_new, lengths, slots, table_rows,
+        rng, temperature, top_p, top_k,
+    )
+
+
+def _prefill_extend_fn(
+    model_cfg: ModelConfig,
+    n_pages: int,  # prefix pages (static bucket)
+    params: dict,
+    k_pool: jnp.ndarray,  # [L, NB, BT, K, Dh]
+    v_pool: jnp.ndarray,
+    cache_lens: jnp.ndarray,  # [S]
+    first_info: jnp.ndarray,  # [S, 2]
+    tail_ids: jnp.ndarray,  # [1, Tb] — prompt tokens past the cached prefix
+    tail_len: jnp.ndarray,  # [1]
+    prefix_len: jnp.ndarray,  # scalar — tokens covered by the prefix pages
+    slots: jnp.ndarray,  # [1]
+    prefix_pages: jnp.ndarray,  # [n_pages] physical page ids (pad = repeat)
+    table_rows: jnp.ndarray,  # [1, MAXB] — the slot's full table (for append)
+    rng: jax.Array,
+    temperature: jnp.ndarray,  # [1]
+    top_p: jnp.ndarray,
+    top_k: jnp.ndarray,
+):
+    """Prefix-reuse prefill: gather the cached prefix pages, run the tail
+    through ``forward_extend`` (attention over [prefix | tail]), append the
+    tail K/V at ``prefix_len``, sample the first token. Turn N+1 of a
+    conversation pays only for its new tokens (vLLM prefix-cache role,
+    SURVEY.md §2.4)."""
+    from ..models.transformer import forward_extend
+    from ..ops.paged_attention import paged_append
+
+    BT = k_pool.shape[2]
+    Tb = tail_ids.shape[1]
+    k_pre = jnp.take(k_pool, prefix_pages, axis=1)  # [L, P, BT, K, Dh]
+    v_pre = jnp.take(v_pool, prefix_pages, axis=1)
+    L, P = k_pre.shape[0], k_pre.shape[1]
+    K, Dh = k_pre.shape[3], k_pre.shape[4]
+    k_pre = k_pre.reshape(L, 1, P * BT, K, Dh)
+    v_pre = v_pre.reshape(L, 1, P * BT, K, Dh)
+
+    positions = prefix_len + jnp.arange(Tb)[None, :]
+    normed, (k_new, v_new) = forward_extend(
+        params, model_cfg, tail_ids, positions,
+        k_pre, v_pre, jnp.full((1,), prefix_len, jnp.int32),
+        skip_unembed=True,
+    )
+    write = jax.vmap(
+        lambda pool, rows: paged_append(
+            pool, rows.astype(pool.dtype), table_rows,
+            jnp.full((1,), prefix_len, jnp.int32), count=tail_len,
+        )
+    )
+    k_pool = write(k_pool, k_new)
+    v_pool = write(v_pool, v_new)
+    total = prefix_len + tail_len
+    cache_lens = cache_lens.at[slots].set(total)
+    last_logits = _prefill_last_logits(params, model_cfg, normed, tail_len)
+    first_info, rng = _sample_first_tokens(
+        first_info, last_logits, slots, rng, temperature, top_p, top_k
+    )
+    return k_pool, v_pool, cache_lens, first_info, last_logits, rng
 
 
 def _fork_fn(
@@ -1410,10 +1775,11 @@ def _decode_window_paged_fn(
     model_cfg: ModelConfig,
     use_masking: bool,
     n_steps: int,
+    use_xla_attn: bool,
     params: dict,
     k_pool: jnp.ndarray,  # [L, NB, BT, K, Dh] page pools
     v_pool: jnp.ndarray,
-    tokens: jnp.ndarray,  # [S]
+    tokens: jnp.ndarray,  # [S] — device carry of last sampled tokens
     active: jnp.ndarray,  # [S] bool
     pending_mask: jnp.ndarray,  # [S] bool
     first_info: jnp.ndarray,  # [S, 2]
@@ -1431,7 +1797,11 @@ def _decode_window_paged_fn(
     the block table, and the window-end merge appends through the table
     (ops/paged_attention.paged_append). Inactive slots append nothing —
     their table rows may already be released."""
-    from ..ops.paged_attention import paged_append, paged_decode_attention
+    from ..ops.paged_attention import (
+        paged_append,
+        paged_decode_attention,
+        paged_decode_attention_xla,
+    )
 
     S = tokens.shape[0]
     BT = k_pool.shape[2]
@@ -1439,9 +1809,10 @@ def _decode_window_paged_fn(
     L, K, Dh = k_pool.shape[0], k_pool.shape[3], k_pool.shape[4]
     tokens = jnp.where(pending_mask, first_info[:, 0], tokens)
     base_lens = cache_lens
+    attn_kernel = paged_decode_attention_xla if use_xla_attn else paged_decode_attention
 
     def paged_attn(q, k, v, kc, vc, lens, ks, vs, step):
-        return paged_decode_attention(
+        return attn_kernel(
             q, k, v, kc, vc, block_table, lens, ks, vs, step
         )
 
@@ -1489,7 +1860,8 @@ def _decode_window_paged_fn(
     tok_rows = jnp.concatenate([first_info[None, :, 0], win_tokens], axis=0)
     lp_rows = jnp.concatenate([first_info[None, :, 1], lp_bits], axis=0)
     packed = jnp.stack([tok_rows, lp_rows])  # [2, N+1, S]
-    return packed, k_pool, v_pool, cache_lens, rng
+    # final carry = device-side last token per slot (see _decode_window_fn)
+    return packed, k_pool, v_pool, cache_lens, rng, tokens
 
 
 def _prefill_paged_fn(
@@ -1516,10 +1888,27 @@ def _prefill_paged_fn(
     B, P = input_ids.shape
     positions = jnp.broadcast_to(jnp.arange(P)[None, :], (B, P))
     segments = jnp.zeros((B, P), jnp.int32)
-    logits, (k_new, v_new) = forward(
+    normed, (k_new, v_new) = forward(
         params, model_cfg, input_ids, positions, segments, return_kv=True,
-        attn_impl=attn_impl,
+        attn_impl=attn_impl, skip_unembed=True,
     )
+    last_logits = _prefill_last_logits(params, model_cfg, normed, lengths)
+    return _prefill_commit_paged(
+        k_pool, v_pool, cache_lens, first_info,
+        last_logits, k_new, v_new, lengths, slots, table_rows,
+        rng, temperature, top_p, top_k,
+    )
+
+
+def _prefill_commit_paged(
+    k_pool, v_pool, cache_lens, first_info,
+    last_logits, k_new, v_new, lengths, slots, table_rows,
+    rng, temperature, top_p, top_k,
+):
+    """Shared paged prefill tail: append each row's K/V into its freshly
+    allocated pages, record lengths, sample the first token per row."""
+    from ..ops.paged_attention import paged_append
+
     zero = jnp.zeros_like(lengths)
     write = jax.vmap(
         lambda pool, rows: paged_append(
@@ -1529,8 +1918,8 @@ def _prefill_paged_fn(
     k_pool = write(k_pool, k_new)  # k_new: [L, B, P, K, Dh]
     v_pool = write(v_pool, v_new)
     cache_lens = cache_lens.at[slots].set(lengths)
-    first_info, last_logits, rng = _sample_first_tokens(
-        first_info, logits, lengths, slots, rng, temperature, top_p, top_k
+    first_info, rng = _sample_first_tokens(
+        first_info, last_logits, slots, rng, temperature, top_p, top_k
     )
     return k_pool, v_pool, cache_lens, first_info, last_logits, rng
 

@@ -315,14 +315,13 @@ class InferenceServer:
             body = await request.read()
 
             def deserialize_and_swap():
-                import jax
-                import jax.numpy as jnp
-
                 from .weight_transfer import deserialize_params
 
                 params, version = deserialize_params(body)
                 params.pop("value_head", None)  # trainer-only
-                params = jax.tree.map(jnp.asarray, params)
+                # hand the HOST arrays to the engine: it streams them to the
+                # device in bounded chunks between decode windows instead of
+                # one multi-GB atomic transfer stalling decode
                 self.engine.update_params(params, version)
                 return version
 

@@ -166,7 +166,16 @@ def build_engine(
             window_pipeline_depth=int(ecfg.get("window_pipeline_depth", 2)),
             adaptive_window=bool(ecfg.get("adaptive_window", True)),
             attn_impl=str(ecfg.get("attn_impl", "xla")),
+            decode_attn_impl=str(ecfg.get("decode_attn_impl", "auto")),
+            max_prefill_batch=int(ecfg.get("max_prefill_batch", 8)),
             tp=int(ecfg.get("tp", 1)),
+            pp=int(ecfg.get("pp", 1)),
+            kv_layout=str(ecfg.get("kv_layout", "auto")),
+            kv_block_size=int(ecfg.get("kv_block_size", 128)),
+            kv_pool_blocks=(
+                int(ecfg.kv_pool_blocks) if ecfg.get("kv_pool_blocks") else None
+            ),
+            prefix_cache=bool(ecfg.get("prefix_cache", True)),
         ),
         eos_token_id=tokenizer.eos_token_id,
         vision_params=vision_params,

@@ -215,14 +215,19 @@ def _mlp(layer: dict, x: jnp.ndarray) -> jnp.ndarray:
     return (jax.nn.silu(x @ layer["wgate"]) * (x @ layer["wup"])) @ layer["wdown"]
 
 
-def unembed(params: dict, cfg: ModelConfig, x: jnp.ndarray) -> jnp.ndarray:
-    """Final norm + FP32 lm_head. Returns fp32 logits."""
-    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+def lm_head_logits(params: dict, cfg: ModelConfig, x_normed: jnp.ndarray) -> jnp.ndarray:
+    """FP32 lm_head over already-final-norm'd hidden states."""
     if cfg.tie_word_embeddings:
         w = params["embed"].astype(jnp.float32).T
     else:
         w = params["lm_head"].astype(jnp.float32)
-    return jnp.dot(x.astype(jnp.float32), w, preferred_element_type=jnp.float32)
+    return jnp.dot(x_normed.astype(jnp.float32), w, preferred_element_type=jnp.float32)
+
+
+def unembed(params: dict, cfg: ModelConfig, x: jnp.ndarray) -> jnp.ndarray:
+    """Final norm + FP32 lm_head. Returns fp32 logits."""
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    return lm_head_logits(params, cfg, x)
 
 
 # ---------------------------------------------------------------------------
@@ -242,9 +247,15 @@ def forward(
     attn_impl: str = "xla",  # "xla" | "flash" (Pallas splash kernel)
     image_embeds: jnp.ndarray | None = None,  # [B, M, D] visual tokens
     image_mask: jnp.ndarray | None = None,  # [B, L] bool placeholder positions
+    skip_unembed: bool = False,
 ):
     """Full forward over a packed row. Returns fp32 logits [B, L, V]; with
-    ``return_kv`` also the per-layer keys/values [L, B, T, K, Dh] (prefill)."""
+    ``return_kv`` also the per-layer keys/values [L, B, T, K, Dh] (prefill).
+
+    ``skip_unembed`` returns the final-norm'd HIDDEN [B, L, D] in the logits
+    slot instead: prefill callers only need one position's logits, and the
+    full [B, L, V] fp32 unembed is the dominant memory/FLOP cost at long
+    buckets (a [8, 4096, 152k] fp32 tensor is 20 GB — over v5e HBM)."""
     x = jnp.take(params["embed"], input_ids, axis=0)
     if image_embeds is not None:
         x = splice_image_embeds(x, image_embeds, image_mask)
@@ -279,13 +290,72 @@ def forward(
         layer_fn = jax.checkpoint(layer_fn)
     x, kv = jax.lax.scan(layer_fn, x, params["layers"])
     hidden = x
-    logits = unembed(params, cfg, x)
+    if skip_unembed:
+        logits = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    else:
+        logits = unembed(params, cfg, x)
     outs = [logits]
     if return_kv:
         outs.append(kv)
     if return_hidden:
         outs.append(hidden)
     return outs[0] if len(outs) == 1 else tuple(outs)
+
+
+def forward_extend(
+    params: dict,
+    cfg: ModelConfig,
+    input_ids: jnp.ndarray,  # [B, Lt] — tail tokens (padded bucket)
+    position_ids: jnp.ndarray,  # [B, Lt] — absolute positions (prefix_len + i)
+    k_prefix: jnp.ndarray,  # [L, B, Pfx, K, Dh] — cached prefix K (rope applied)
+    v_prefix: jnp.ndarray,
+    prefix_len: jnp.ndarray,  # [B] — valid prefix tokens (rest of Pfx is pad)
+    block_kv: int = 512,
+    skip_unembed: bool = False,
+):
+    """Chunked prefill against a cached prefix (cross-request prefix reuse,
+    the role vLLM's prefix cache plays for the reference, SURVEY.md §2.4):
+    compute only the tail's layers, attending over [prefix | tail].
+
+    Masking rides the blockwise kernel's segment+flat-index contract: tail
+    queries sit at global indices Pfx..Pfx+Lt (``q_offset=Pfx``), so every
+    prefix key (index < Pfx) is visible and tail causality is exact; prefix
+    PAD keys (index >= prefix_len) are masked by a segment mismatch. Tail pad
+    tokens sit after valid ones — causally invisible to them.
+
+    Returns (fp32 logits [B, Lt, V], (k_tail, v_tail) [L, B, Lt, K, Dh])."""
+    from ..ops.blockwise_attention import mha_packed_blockwise
+
+    B, Lt = input_ids.shape
+    Pfx = k_prefix.shape[2]
+    x = jnp.take(params["embed"], input_ids, axis=0)
+    cos, sin = positional_cos_sin(cfg, position_ids)
+
+    q_seg = jnp.zeros((B, Lt), jnp.int32)
+    pre_seg = jnp.where(
+        jnp.arange(Pfx)[None, :] < prefix_len[:, None], 0, 1
+    ).astype(jnp.int32)
+    kv_seg = jnp.concatenate([pre_seg, q_seg], axis=1)  # [B, Pfx+Lt]
+
+    def layer_fn(h, inputs):
+        layer, k_pre, v_pre = inputs
+        normed = rms_norm(h, layer["ln1"], cfg.rms_norm_eps)
+        q, k, v = _project_qkv(layer, cfg, normed)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        k_all = jnp.concatenate([k_pre.astype(k.dtype), k], axis=1)
+        v_all = jnp.concatenate([v_pre.astype(v.dtype), v], axis=1)
+        attn = mha_packed_blockwise(
+            q, k_all, v_all, q_seg, kv_seg, Pfx, None, block_kv
+        )
+        h = h + attn.reshape(*h.shape[:-1], cfg.q_dim) @ layer["wo"]
+        h = h + _mlp(layer, rms_norm(h, layer["ln2"], cfg.rms_norm_eps))
+        return h, (k, v)
+
+    x, kv = jax.lax.scan(layer_fn, x, (params["layers"], k_prefix, v_prefix))
+    if skip_unembed:
+        return rms_norm(x, params["final_norm"], cfg.rms_norm_eps), kv
+    return unembed(params, cfg, x), kv
 
 
 # ---------------------------------------------------------------------------

@@ -269,7 +269,7 @@ class TrainerLoop:
 
         lora_cfg = self.lora_cfg
 
-        def grad_pass(params, frozen, batch, step, sentinel):
+        def grad_pass(params, frozen, batch, counts, step, sentinel):
             def loss_fn(p):
                 full = merge_lora(frozen, p, lora_cfg) if lora_cfg.enabled else p
                 return rl_loss(
@@ -277,6 +277,13 @@ class TrainerLoop:
                     remat=remat, attn_impl=attn_impl,
                 )
             (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            # global sample/token counts ride the SAME device reduction and
+            # fetch as the other metrics — no per-pass host allgather barrier
+            # (the reference piggybacks counts on device collectives,
+            # finetune_loop.py:709-713; round-2 weak #8)
+            metrics = dict(metrics)
+            metrics["global_samples"] = counts[:, 0].sum()
+            metrics["global_tokens"] = counts[:, 1].sum()
             return grads, loss, metrics
 
         self._grad_pass = jax.jit(grad_pass)
@@ -430,31 +437,43 @@ class TrainerLoop:
         all_sentinel = all(r.sentinel for r in rows)
         sentinel = jnp.asarray(1.0 if all_sentinel else 0.0)
         step = jnp.asarray(self.metrics.completed_steps, jnp.float32)
+        # per-row (samples, tokens) — each process contributes its rows as
+        # local shards; the jitted pass reduces them on device
+        local_counts = np.asarray(
+            [
+                [
+                    0 if r.sentinel else r.num_sequences,
+                    0 if r.sentinel else r.length - r.padding,
+                ]
+                for r in rows
+            ],
+            np.float32,
+        )
+        if self.mesh is not None and jax.process_count() > 1:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            counts = jax.make_array_from_process_local_data(
+                NamedSharding(self.mesh, PartitionSpec("dp", None)),
+                jnp.asarray(local_counts),
+            )
+        else:
+            counts = jnp.asarray(local_counts)
         grads, loss, metrics = self._grad_pass(
-            self.params, self.frozen_params, arrays, step, sentinel
+            self.params, self.frozen_params, arrays, counts, step, sentinel
         )
         if self._grad_accum is None:
             self._grad_accum = grads
         else:
             self._grad_accum = self._accumulate(self._grad_accum, grads)
         self.metrics.passes += 1
-        local_samples = sum(r.num_sequences for r in rows if not r.sentinel)
-        local_tokens = sum(r.length - r.padding for r in rows if not r.sentinel)
-        if jax.process_count() > 1:
-            from jax.experimental import multihost_utils
-
-            totals = multihost_utils.process_allgather(
-                np.asarray([local_samples, local_tokens], np.int64)
-            )
-            global_samples = int(totals[:, 0].sum())
-            global_tokens = int(totals[:, 1].sum())
-        else:
-            global_samples, global_tokens = local_samples, local_tokens
+        host_metrics = {k: float(v) for k, v in metrics.items()}
+        global_samples = int(round(host_metrics.pop("global_samples")))
+        global_tokens = int(round(host_metrics.pop("global_tokens")))
         self.metrics.samples += global_samples
         self.metrics.tokens += global_tokens
         self.last_pass_samples = global_samples
         self.metrics.train_loss = float(loss)
-        return {k: float(v) for k, v in metrics.items()}
+        return host_metrics
 
     def _vlm_pass(self, batch: TrainerBatch) -> dict:
         """Gradient pass for one multimodal [1, L] row: encode pixels with

@@ -423,3 +423,66 @@ def test_adaptive_window_cuts_budget_speculation(tiny_model):
     # small windows were actually dispatched
     assert any(w < 8 for w in adaptive_engine.window_size_counts)
     assert adaptive_engine.speculative_wasted_tokens < plain_engine.speculative_wasted_tokens
+
+
+def test_streamed_host_weight_push(tiny_model):
+    """A HOST-side (numpy) param tree pushed via update_params is streamed
+    to the device in chunks between decode windows and swapped atomically at
+    the end — requests in flight keep decoding throughout (the multi-GB
+    atomic device_put stalled decode for the full transfer, round-3 bench)."""
+    import numpy as _np
+
+    params, cfg = tiny_model
+    engine = make_engine(params, cfg)
+    fut = engine.submit(GenRequest([5, 7, 9], SamplingParams(temperature=0.0, max_tokens=20)))
+    engine.step()
+    host_tree = jax.tree.map(lambda x: _np.asarray(x), params)
+    engine.update_params(host_tree, version=9)
+    # identical weights, streamed: greedy continuation must be unaffected
+    for _ in range(5000):
+        if fut.done():
+            break
+        engine.step()
+    assert engine.version == 9
+    assert engine._stream_state is None
+    expected = greedy_reference(params, cfg, [5, 7, 9], 20)
+    assert fut.result().token_ids == expected
+
+
+def test_multiwindow_depth2_greedy_parity(tiny_model):
+    """REGRESSION (round-3 find, present since round 2): with
+    window_pipeline_depth=2, windows are dispatched before the previous
+    window's sync, so the host's last-token view is one window stale — every
+    generation spanning >1 decode window silently restarted each window from
+    the wrong token. The device now carries the last sampled token between
+    windows. Existing greedy tests never crossed a window boundary at
+    depth 2 (budgets <= one window)."""
+    params, cfg = tiny_model
+    for depth in (1, 2, 3):
+        engine = InferenceEngine(
+            params,
+            cfg,
+            EngineConfig(
+                max_slots=3, max_len=64, prefill_buckets=(8, 16),
+                cache_dtype=jnp.float32, decode_window=4,
+                window_pipeline_depth=depth, adaptive_window=False,
+            ),
+            eos_token_id=EOS,
+        )
+        prompts = [[5, 7, 9], [11, 3, 2, 4]]
+        reqs = [
+            GenRequest(p, SamplingParams(temperature=0.0, max_tokens=17))
+            for p in prompts
+        ]
+        results = run_sync(engine, reqs)
+        for prompt, res in zip(prompts, results):
+            expected = greedy_reference(params, cfg, prompt, 17)
+            assert res.token_ids == expected, f"depth={depth} prompt={prompt}"
+        # logged logprobs must equal teacher-forcing across the boundaries
+        for prompt, res in zip(prompts, results):
+            seq = prompt + res.token_ids
+            scored = engine.score_tokens(seq)
+            ref_lps = scored[len(prompt) - 1 :]
+            for a, b in zip(res.logprobs, ref_lps):
+                assert abs(a - b) < 1e-3, f"depth={depth}"
+        engine.stop()

@@ -80,7 +80,7 @@ def test_paged_fork_shares_prompt_pages():
     params, model_cfg = _model()
     rng = np.random.default_rng(1)
     prompt = rng.integers(1, 200, 20).tolist()  # 1 full 16-page + partial tail
-    engine = _engine(params, model_cfg, "paged")
+    engine = _engine(params, model_cfg, "paged", prefix_cache=False)
     futures = [engine.submit(_greedy(prompt, max_tokens=6)) for _ in range(4)]
     # admit (one engine step) then check sharing before completion
     engine.step()
@@ -104,7 +104,10 @@ def test_paged_pool_exhaustion_defers_admission():
     rng = np.random.default_rng(2)
     # pool sized for ~2 concurrent requests: each reserves
     # 31 + 10 + 4 = 45 tokens → 3 pages of 16
-    engine = _engine(params, model_cfg, "paged", kv_pool_blocks=6, max_slots=4)
+    engine = _engine(
+        params, model_cfg, "paged", kv_pool_blocks=6, max_slots=4,
+        prefix_cache=False,
+    )
     prompts = [rng.integers(1, 200, 31).tolist() for _ in range(5)]
     futures = [engine.submit(_greedy(p, max_tokens=10)) for p in prompts]
     engine.step()
@@ -121,7 +124,7 @@ def test_paged_pool_exhaustion_defers_admission():
 def test_paged_counters_and_abort():
     params, model_cfg = _model()
     rng = np.random.default_rng(3)
-    engine = _engine(params, model_cfg, "paged")
+    engine = _engine(params, model_cfg, "paged", prefix_cache=False)
     req = GenRequest(
         prompt_ids=rng.integers(1, 200, 8).tolist(),
         params=SamplingParams(temperature=1.0, max_tokens=40),
@@ -137,3 +140,105 @@ def test_paged_counters_and_abort():
     assert fut.result(timeout=5).finish_reason == "abort"
     assert engine.block_pool.free_blocks == engine.block_pool.n_blocks
     engine.stop()
+
+
+def test_prefix_cache_reuses_transcript_pages():
+    """Cross-request prefix reuse: a request whose prompt extends a finished
+    transcript must reattach the transcript's full pages (prefill only the
+    tail) and produce EXACTLY the tokens a cold engine produces (the vLLM
+    prefix-cache role, SURVEY.md §2.4)."""
+    params, model_cfg = _model()
+    rng = np.random.default_rng(1)
+    prompt1 = rng.integers(1, 240, 20).tolist()
+
+    warm = _engine(params, model_cfg, "paged", prefix_cache=True)
+    r1 = _drain(warm, [warm.submit(_greedy(prompt1, max_tokens=8))])[0]
+    transcript = prompt1 + r1.token_ids
+    assert len(transcript) >= 16  # at least one full page registered
+    prompt2 = transcript + rng.integers(1, 240, 6).tolist()
+
+    r2_warm = _drain(warm, [warm.submit(_greedy(prompt2, max_tokens=8))])[0]
+    counters = warm.perf_counters()
+    assert counters["prefix_cache_hits"] >= 1
+    assert counters["prefix_cache_reused_tokens"] >= 16
+    assert warm.prefill_reused_tokens >= 16
+
+    cold = _engine(params, model_cfg, "paged", prefix_cache=False)
+    r2_cold = _drain(cold, [cold.submit(_greedy(prompt2, max_tokens=8))])[0]
+    assert r2_warm.token_ids == r2_cold.token_ids
+    assert [round(a, 4) for a in r2_warm.logprobs] == [
+        round(a, 4) for a in r2_cold.logprobs
+    ]
+
+
+def test_prefix_cache_multi_turn_conversation():
+    """13-turn guessing-shaped lineage: every turn after the first reuses the
+    prior transcript's pages; total prefilled tokens stay near the sum of
+    per-turn deltas instead of growing quadratically."""
+    params, model_cfg = _model()
+    rng = np.random.default_rng(2)
+    engine = _engine(
+        params, model_cfg, "paged", max_len=512, prefill_buckets=(32, 64, 128, 256, 512),
+        kv_pool_blocks=256,
+    )
+    transcript = rng.integers(1, 240, 24).tolist()
+    turns = 8
+    for _ in range(turns):
+        res = _drain(engine, [engine.submit(_greedy(transcript, max_tokens=4))])[0]
+        transcript = transcript + res.token_ids + rng.integers(1, 240, 6).tolist()
+    c = engine.perf_counters()
+    assert c["prefix_cache_hits"] >= turns - 1
+    # naive prefill would recompute the whole transcript each turn
+    naive = sum(24 + i * 10 for i in range(turns))
+    assert c["prefill_tokens"] < naive * 0.6, c
+
+
+def test_prefix_cache_eviction_under_pressure():
+    """Cached pages are evicted LRU when admissions need the pool."""
+    params, model_cfg = _model()
+    rng = np.random.default_rng(3)
+    # tiny pool: 12 pages of 16 tokens; reserve per request ≈ prompt(20)
+    # + max_new + window
+    engine = _engine(
+        params, model_cfg, "paged", max_slots=2, kv_pool_blocks=12,
+    )
+    for i in range(6):
+        prompt = rng.integers(1, 240, 20).tolist()
+        _drain(engine, [engine.submit(_greedy(prompt, max_tokens=8))])
+    # the cache never blocks admission and pages_held stays bounded
+    c = engine.perf_counters()
+    assert c["kv_pages_free"] + c["prefix_cache_pages"] <= 12
+    engine.block_pool.check_invariants()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs 2+ devices")
+def test_paged_tp_matches_single_device():
+    """Paged KV under tensor parallelism (round-2 verdict: paged rejected
+    tp — the pool now shards its kv-head dim over the tp mesh and decode
+    uses the GSPMD-partitionable XLA paged path)."""
+    params, model_cfg = _model()
+    rng = np.random.default_rng(4)
+    prompts = [rng.integers(1, 240, n).tolist() for n in (12, 25, 40)]
+    plain = _engine(params, model_cfg, "paged")
+    ref = _drain(plain, [plain.submit(_greedy(p, max_tokens=6)) for p in prompts])
+
+    tp_engine = _engine(params, model_cfg, "paged", tp=2)
+    assert tp_engine.mesh is not None
+    got = _drain(tp_engine, [tp_engine.submit(_greedy(p, max_tokens=6)) for p in prompts])
+    for a, b in zip(ref, got):
+        assert a.token_ids == b.token_ids
+    # in-flight weight push resharding works on the paged mesh too
+    tp_engine.update_params(params, version=3)
+    tp_engine.step()
+    assert tp_engine.version == 3
+
+
+def test_auto_layout_picks_paged_at_long_context():
+    params, model_cfg = _model()
+    short = _engine(params, model_cfg, "auto")
+    assert not short.paged
+    long = _engine(
+        params, model_cfg, "auto", max_len=4096,
+        prefill_buckets=(64, 128), kv_pool_blocks=64,
+    )
+    assert long.paged

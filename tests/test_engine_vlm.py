@@ -223,3 +223,57 @@ def test_mrope_positions_match_hf():
     pos, delta = mrope_positions(ids, np.asarray([[1, 4, 4]]), img, 2)
     np.testing.assert_array_equal(pos, hf_pos[:, 0].numpy())
     assert delta == int(hf_delta[0, 0])
+
+
+def test_engine_vlm_paged_matches_host_reference():
+    """VLM through the PAGED KV layout (round-2 verdict: paged rejected VLM
+    — the vision prefill now commits into pool pages) plus a sibling fork
+    sharing the image prompt's pages."""
+    params, model_cfg, vparams, vcfg = _toy_models()
+    grid = (1, 4, 4)
+    pixels = _image(vcfg, grid)
+    prompt = [5, 6, IMG, IMG, IMG, IMG, 7]
+
+    ref = _greedy_reference(
+        params, model_cfg, vparams, vcfg, prompt, pixels, grid, n_new=12
+    )
+
+    engine = InferenceEngine(
+        params,
+        model_cfg,
+        EngineConfig(
+            max_slots=4,
+            max_len=64,
+            prefill_buckets=(16,),
+            cache_dtype=jnp.float32,
+            decode_window=4,
+            window_pipeline_depth=1,
+            vision_unit_buckets=(8,),
+            kv_layout="paged",
+            kv_block_size=8,
+        ),
+        eos_token_id=-1,
+        vision_params=vparams,
+        vision_cfg=vcfg,
+    )
+    assert engine.paged
+    visual = {"pixel_values": pixels, "image_grid_thw": np.asarray([grid])}
+    futs = [
+        engine.submit(
+            GenRequest(
+                prompt_ids=list(prompt),
+                params=SamplingParams(temperature=0.0, max_tokens=12),
+                visual=dict(visual),
+            )
+        )
+        for _ in range(2)
+    ]
+    for _ in range(3000):
+        engine.step()
+        if all(f.done() for f in futs):
+            break
+    for f in futs:
+        assert f.result().token_ids == ref
+    # the sibling rode the KV fork (shared image prompt pages)
+    assert engine.prefill_reused_tokens >= len(prompt)
+    engine.block_pool.check_invariants()
