@@ -96,7 +96,10 @@ def bench_engine(params, model_cfg, param_bytes, n_params) -> dict:
     SLOTS = int(os.environ.get("BENCH_SLOTS", 64))
     PROMPT_LEN = 128
     MAX_TOKENS = 128
-    WINDOW = int(os.environ.get("BENCH_WINDOW", 32))
+    # W=16 measured strictly better than 32 at S=64 (sync 14,989 vs 13,995
+    # tok/s AND jittered waste 22.6% vs 36.6%; scripts/probe_decode.py) —
+    # half the speculation horizon without losing host-sync amortization
+    WINDOW = int(os.environ.get("BENCH_WINDOW", 16))
     DEPTH = int(os.environ.get("BENCH_DEPTH", 2))
 
     engine = InferenceEngine(
@@ -202,14 +205,23 @@ def bench_engine(params, model_cfg, param_bytes, n_params) -> dict:
     )
 
     # ---- utilization during an in-flight weight push --------------------
-    # steady state first
-    futures = submit_wave(SLOTS)
-    for _ in range(4):
+    # keep the slot batch saturated through both measurement phases —
+    # requests finish every ~4 windows at max_tokens 128, so an un-topped
+    # wave drains and the push phase would measure an idle engine
+    live: list = []
+
+    def step_saturated():
+        live[:] = [f for f in live if not f.done()]
+        if engine.num_active + engine.num_pending < SLOTS:
+            live.extend(submit_wave(SLOTS - engine.num_active))
         engine.step()
+
+    for _ in range(6):  # reach steady occupancy
+        step_saturated()
     gen_before = engine.total_generated_tokens
     t0 = time.monotonic()
-    for _ in range(6):
-        engine.step()
+    for _ in range(8):
+        step_saturated()
     steady_rate = (engine.total_generated_tokens - gen_before) / (
         time.monotonic() - t0
     )
@@ -233,7 +245,7 @@ def bench_engine(params, model_cfg, param_bytes, n_params) -> dict:
     th = threading.Thread(target=pusher)
     th.start()
     while th.is_alive() or engine.version != 7:
-        engine.step()
+        step_saturated()
     push_elapsed = time.monotonic() - t0
     th.join()
     push_rate = (engine.total_generated_tokens - gen_before) / push_elapsed
@@ -243,7 +255,7 @@ def bench_engine(params, model_cfg, param_bytes, n_params) -> dict:
         f"{push_rate:.0f} tok/s during push vs {steady_rate:.0f} steady "
         f"(utilization {utilization_during_update:.2f})"
     )
-    _drain(engine, futures)
+    _drain(engine, live)
 
     counters = engine.perf_counters()
     log(f"engine counters: {counters}")
@@ -482,7 +494,9 @@ def bench_multiturn(params, model_cfg) -> dict:
     }
 
 
-def bench_train_step(params, model_cfg, n_params, seqlen, attn_impl, label) -> tuple[float, float]:
+def bench_train_step(
+    params, model_cfg, n_params, seqlen, attn_impl, label, logits_chunk=None
+) -> tuple[float, float]:
     """Packed-sequence RL grad+optimizer step throughput (tokens/s/chip)."""
     import jax
     import jax.numpy as jnp
@@ -518,7 +532,7 @@ def bench_train_step(params, model_cfg, n_params, seqlen, attn_impl, label) -> t
         def loss_fn(pp):
             return rl_loss(
                 pp, model_cfg, loss_cfg, b, jnp.zeros(()), 100, jnp.zeros(()),
-                remat=True, attn_impl=attn_impl,
+                remat=True, attn_impl=attn_impl, logits_chunk=logits_chunk,
             )
 
         (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(p)
@@ -630,25 +644,36 @@ def main() -> None:
     paged = bench_paged(params, model_cfg)
     multiturn = bench_multiturn(params, model_cfg)
 
+    # blockwise = what TrainerLoop's attn_impl=auto picks at seq_length>=2048
+    # (2.2x over the XLA path at 4k: 265 vs 570 ms/step on v5e)
     train_tok, train_mfu = bench_train_step(
         params, model_cfg, n_params,
-        int(os.environ.get("BENCH_TRAIN_SEQLEN", 4096)), "xla", "4k",
+        int(os.environ.get("BENCH_TRAIN_SEQLEN", 4096)), "blockwise", "4k",
     )
-    # 16k long-context trainer point: the splash flash kernel (what a
-    # single-chip 16k trainer runs; cp shards 32k across chips). The
-    # blockwise kernel's 16-block scan at L=16k crashed the TPU compiler
-    # (round-3 try: tpu_compile_helper exit 1) — it is the shard_map/CP
-    # building block, not the single-chip path.
-    try:
-        t16_tok, t16_mfu = bench_train_step(
-            params, model_cfg, n_params, 16384, "flash", "16k-flash"
-        )
-    except Exception as e:  # noqa: BLE001
-        log(f"16k train point failed: {e}")
-        t16_tok, t16_mfu = 0.0, 0.0
+    # 16k long-context trainer point (single-chip; cp shards 32k across
+    # chips). logits_chunk is REQUIRED at this L: the full [16k, 152k] fp32
+    # logits are ~10 GB — over v5e HBM (the round-3 first run OOM'd both
+    # attention impls on exactly that buffer).
+    t16_tok, t16_mfu = 0.0, 0.0
+    for impl in ("blockwise", "flash"):
+        try:
+            t16_tok, t16_mfu = bench_train_step(
+                params, model_cfg, n_params, 16384, impl, f"16k-{impl}",
+                logits_chunk=2048,
+            )
+            break
+        except Exception as e:  # noqa: BLE001
+            log(f"16k train point [{impl}] failed: {e}")
 
     b7 = {}
     if os.environ.get("BENCH_7B", "1") != "0":
+        # free the 0.5B model first: 7B bf16 weights are 15.2 GB of the
+        # 16 GB HBM — the resident 1.26 GB bench model is exactly the
+        # difference between fitting and ResourceExhausted (bench r3-a)
+        del params
+        import gc
+
+        gc.collect()
         try:
             b7 = bench_7b_smoke()
         except Exception as e:  # noqa: BLE001 — smoke must not sink the bench

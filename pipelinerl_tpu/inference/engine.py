@@ -59,13 +59,16 @@ class EngineConfig:
     # carry already holds the sampled tokens, so a future window needs no
     # host input). Stop detection lags by (depth-1) windows of speculation.
     window_pipeline_depth: int = 2
-    # budget-aware speculation control: when the minimum remaining token
+    # budget-aware speculation control: when the MEDIAN remaining token
     # budget across active slots fits a smaller compiled window (W/2, W/4),
-    # dispatch that size instead, and drain the pipeline to depth 1 when a
-    # finish is certain this window — waste = tokens decoded past a stop or
-    # budget drops sharply for length-capped RL rollouts (round-2 BENCH
-    # threw away 23% of decode as speculation)
-    adaptive_window: bool = True
+    # dispatch that size instead. Measured OFF-by-default (v5e, 0.5B, S=64
+    # W=32 jittered continuous batching, scripts/probe_decode.py): the
+    # policy cost 18% useful throughput (8.6k vs 10.6k tok/s) while leaving
+    # waste unchanged (36%) — scattered per-slot finishes keep the median
+    # high, so it only fires in the tail where shrinking windows breaks the
+    # host-sync amortization. Shrinking the FIXED window is the effective
+    # waste control: W=16 measured waste 23% vs 37% at W=32.
+    adaptive_window: bool = False
     # attention implementation for prefill/score forwards: "xla" | "flash"
     attn_impl: str = "xla"
     # decode-window cache attention: "auto" | "xla" | "ragged" (Pallas
@@ -662,11 +665,31 @@ class InferenceEngine:
             if self.paged and self.prefix_cache is not None:
                 hit = self.prefix_cache.lookup(request.prompt_ids)
             if hit is not None:
-                extend_entries.append((entry, *hit))
+                pages, n_prefix = hit
+                tail_bucket = next(
+                    b for b in self.buckets if b >= n - n_prefix
+                )
+                pb = 1
+                while pb < len(pages):
+                    pb <<= 1
+                extend_entries.append((entry, pages, n_prefix, tail_bucket, pb))
             else:
                 by_bucket.setdefault(bucket, []).append(entry)
-        for entry, pages, n_prefix in extend_entries:
-            self._prefill_extend(entry, pages, n_prefix)
+        # batch extends that share (tail bucket, prefix-page bucket) — the
+        # common case: sibling conversation lineages advance in lockstep
+        ext_groups: dict[tuple, list] = {}
+        for item in extend_entries:
+            ext_groups.setdefault((item[3], item[4]), []).append(item)
+        for g in ext_groups.values():
+            pos = 0
+            while pos < len(g):
+                batch = 1
+                for b in (8, 4, 2, 1):
+                    if b <= self.cfg.max_prefill_batch and pos + b <= len(g):
+                        batch = b
+                        break
+                self._prefill_extend(g[pos : pos + batch])
+                pos += batch
         for bucket, *entry in vlm_entries:
             self._prefill_vlm(bucket, entry)
         for bucket, group in by_bucket.items():
@@ -831,34 +854,46 @@ class InferenceEngine:
                 gen=self._gen_counter,
             )
 
-    def _prefill_extend(self, entry: list, pages, n_prefix: int) -> None:
-        """Admit one cluster whose prompt extends a cached transcript: attach
-        the shared prefix pages (refcount++), reserve the tail's pages, and
-        prefill ONLY the tail against the gathered prefix KV
-        (_prefill_extend_fn). Identical-prompt siblings still fork off the
-        primary afterwards."""
-        slot, request, future, siblings, sibling_slots = entry
-        ids = request.prompt_ids
-        tail = ids[n_prefix:]
-        tail_len = len(tail)
-        tail_bucket = next(b for b in self.buckets if b >= tail_len)
-        pages = np.asarray(pages, np.int32)
-        self.block_pool.attach(slot, pages)
-        reserve = self._reserve_tokens(request)
-        self.block_pool.extend(slot, reserve)
-        self._slot_capacity[slot] = reserve
+    def _prefill_extend(self, group: list[tuple]) -> None:
+        """Admit clusters whose prompts extend cached transcripts, BATCHED
+        (callers group by tail bucket + prefix-page bucket): attach each
+        shared prefix's pages (refcount++), reserve the tails' pages, and
+        prefill ONLY the tails against the gathered prefix KV in ONE
+        dispatch (_prefill_extend_fn). Batch-1 extends made the warm
+        multi-turn path SLOWER than cold full-prompt prefills (bench r3-a:
+        0.90x) — 8 lineages x 13 turns = 104 dispatches each paying the
+        tunnel RTT, vs 13 batch-8 bucket prefills cold. Identical-prompt
+        siblings still fork off their primary afterwards."""
+        B = len(group)
+        tail_bucket, pb = group[0][3], group[0][4]
+        tails = np.zeros((B, tail_bucket), np.int32)
+        tail_lens = np.zeros(B, np.int32)
+        prefix_lens = np.zeros(B, np.int32)
+        slots_arr = np.zeros(B, np.int32)
+        pad_pages = np.zeros((B, pb), np.int32)
+        temps = np.ones(B, np.float32)
+        top_ps = np.ones(B, np.float32)
+        top_ks = np.zeros(B, np.int32)
+        for i, (entry, pages, n_prefix, _tb, _pb) in enumerate(group):
+            slot, request, future, siblings, sibling_slots = entry
+            ids = request.prompt_ids
+            tail = ids[n_prefix:]
+            pages = np.asarray(pages, np.int32)
+            self.block_pool.attach(slot, pages)
+            reserve = self._reserve_tokens(request)
+            self.block_pool.extend(slot, reserve)
+            self._slot_capacity[slot] = reserve
+            tails[i, : len(tail)] = tail
+            tail_lens[i] = len(tail)
+            prefix_lens[i] = n_prefix
+            slots_arr[i] = slot
+            # pad entries repeat a valid page id; masked via prefix_len
+            pad_pages[i] = pages[-1]
+            pad_pages[i, : len(pages)] = pages
+            p = request.params
+            temps[i], top_ps[i], top_ks[i] = p.temperature, p.top_p, p.top_k
 
-        # pad the prefix pages to a power-of-two bucket (bounded compiles);
-        # pad entries repeat a valid id and are masked via prefix_len
-        pb = 1
-        while pb < len(pages):
-            pb <<= 1
-        pad_pages = np.full(pb, pages[-1], np.int32)
-        pad_pages[: len(pages)] = pages
-        padded = np.zeros((1, tail_bucket), np.int32)
-        padded[0, :tail_len] = tail
-
-        key = (tail_bucket, pb)
+        key = (tail_bucket, pb, B)
         fn = self._prefill_extend_fns.get(key)
         if fn is None:
             fn = jax.jit(
@@ -866,7 +901,6 @@ class InferenceEngine:
                 donate_argnums=(1, 2, 3, 4),
             )
             self._prefill_extend_fns[key] = fn
-        p = request.params
         (
             self.k_pool,
             self.v_pool,
@@ -880,32 +914,36 @@ class InferenceEngine:
             self.v_pool,
             self.cache_lens,
             self.first_info,
-            jnp.asarray(padded),
-            jnp.asarray(np.asarray([tail_len], np.int32)),
-            jnp.asarray(n_prefix, jnp.int32),
-            jnp.asarray(np.asarray([slot], np.int32)),
+            jnp.asarray(tails),
+            jnp.asarray(tail_lens),
+            jnp.asarray(prefix_lens),
+            jnp.asarray(slots_arr),
             jnp.asarray(pad_pages),
-            jnp.asarray(self.block_pool.table[[slot]]),
+            jnp.asarray(self.block_pool.table[slots_arr]),
             self._rng_device,
-            jnp.asarray([p.temperature], np.float32),
-            jnp.asarray([p.top_p], np.float32),
-            jnp.asarray([p.top_k], np.int32),
+            jnp.asarray(temps),
+            jnp.asarray(top_ps),
+            jnp.asarray(top_ks),
         )
-        self.total_prefill_tokens += tail_len
-        self.prefill_reused_tokens += n_prefix
-        max_new = min(p.max_tokens, self.cfg.max_len - len(ids))
-        self._gen_counter += 1
-        self._pos_delta[slot] = 0
-        self._slots[slot] = _Slot(
-            request=request,
-            future=future,
-            version_start=self.version,
-            max_new_tokens=max_new,
-            pending_first=True,
-            gen=self._gen_counter,
-        )
-        if siblings:
-            self._fork_slots(slot, last_logits[0], siblings, sibling_slots)
+        for i, (entry, pages, n_prefix, _tb, _pb) in enumerate(group):
+            slot, request, future, siblings, sibling_slots = entry
+            self.total_prefill_tokens += int(tail_lens[i])
+            self.prefill_reused_tokens += n_prefix
+            max_new = min(
+                request.params.max_tokens, self.cfg.max_len - len(request.prompt_ids)
+            )
+            self._gen_counter += 1
+            self._pos_delta[slot] = 0
+            self._slots[slot] = _Slot(
+                request=request,
+                future=future,
+                version_start=self.version,
+                max_new_tokens=max_new,
+                pending_first=True,
+                gen=self._gen_counter,
+            )
+            if siblings:
+                self._fork_slots(slot, last_logits[i], siblings, sibling_slots)
 
     def _prefill_vlm(self, bucket: int, entry: list) -> None:
         """Admit one VLM cluster: encode pixels with the frozen vision tower,
@@ -1676,50 +1714,49 @@ def _prefill_vlm_paged_fn(
 
 def _prefill_extend_fn(
     model_cfg: ModelConfig,
-    n_pages: int,  # prefix pages (static bucket)
+    n_pages: int,  # prefix pages per row (static bucket)
     params: dict,
     k_pool: jnp.ndarray,  # [L, NB, BT, K, Dh]
     v_pool: jnp.ndarray,
     cache_lens: jnp.ndarray,  # [S]
     first_info: jnp.ndarray,  # [S, 2]
-    tail_ids: jnp.ndarray,  # [1, Tb] — prompt tokens past the cached prefix
-    tail_len: jnp.ndarray,  # [1]
-    prefix_len: jnp.ndarray,  # scalar — tokens covered by the prefix pages
-    slots: jnp.ndarray,  # [1]
-    prefix_pages: jnp.ndarray,  # [n_pages] physical page ids (pad = repeat)
-    table_rows: jnp.ndarray,  # [1, MAXB] — the slot's full table (for append)
+    tail_ids: jnp.ndarray,  # [B, Tb] — prompt tokens past the cached prefixes
+    tail_len: jnp.ndarray,  # [B]
+    prefix_len: jnp.ndarray,  # [B] — tokens covered by each row's prefix pages
+    slots: jnp.ndarray,  # [B]
+    prefix_pages: jnp.ndarray,  # [B, n_pages] physical page ids (pad = repeat)
+    table_rows: jnp.ndarray,  # [B, MAXB] — each slot's full table (for append)
     rng: jax.Array,
-    temperature: jnp.ndarray,  # [1]
+    temperature: jnp.ndarray,  # [B]
     top_p: jnp.ndarray,
     top_k: jnp.ndarray,
 ):
-    """Prefix-reuse prefill: gather the cached prefix pages, run the tail
-    through ``forward_extend`` (attention over [prefix | tail]), append the
-    tail K/V at ``prefix_len``, sample the first token. Turn N+1 of a
-    conversation pays only for its new tokens (vLLM prefix-cache role,
-    SURVEY.md §2.4)."""
+    """Prefix-reuse prefill, batched over B rows: gather each row's cached
+    prefix pages, run the tails through ``forward_extend`` (attention over
+    [prefix | tail]), append the tail K/V at ``prefix_len``, sample first
+    tokens. Turn N+1 of a conversation pays only for its new tokens (vLLM
+    prefix-cache role, SURVEY.md §2.4); same-turn lineages share a dispatch."""
     from ..models.transformer import forward_extend
     from ..ops.paged_attention import paged_append
 
     BT = k_pool.shape[2]
-    Tb = tail_ids.shape[1]
-    k_pre = jnp.take(k_pool, prefix_pages, axis=1)  # [L, P, BT, K, Dh]
+    B, Tb = tail_ids.shape
+    k_pre = jnp.take(k_pool, prefix_pages, axis=1)  # [L, B, P, BT, K, Dh]
     v_pre = jnp.take(v_pool, prefix_pages, axis=1)
-    L, P = k_pre.shape[0], k_pre.shape[1]
-    K, Dh = k_pre.shape[3], k_pre.shape[4]
-    k_pre = k_pre.reshape(L, 1, P * BT, K, Dh)
-    v_pre = v_pre.reshape(L, 1, P * BT, K, Dh)
+    L = k_pre.shape[0]
+    K, Dh = k_pre.shape[4], k_pre.shape[5]
+    k_pre = k_pre.reshape(L, B, n_pages * BT, K, Dh)
+    v_pre = v_pre.reshape(L, B, n_pages * BT, K, Dh)
 
-    positions = prefix_len + jnp.arange(Tb)[None, :]
+    positions = prefix_len[:, None] + jnp.arange(Tb)[None, :]
     normed, (k_new, v_new) = forward_extend(
         params, model_cfg, tail_ids, positions,
-        k_pre, v_pre, jnp.full((1,), prefix_len, jnp.int32),
+        k_pre, v_pre, prefix_len,
         skip_unembed=True,
     )
     write = jax.vmap(
         lambda pool, rows: paged_append(
-            pool, rows.astype(pool.dtype), table_rows,
-            jnp.full((1,), prefix_len, jnp.int32), count=tail_len,
+            pool, rows.astype(pool.dtype), table_rows, prefix_len, count=tail_len
         )
     )
     k_pool = write(k_pool, k_new)

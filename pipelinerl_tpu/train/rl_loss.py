@@ -86,6 +86,67 @@ def token_logprobs_from_logits(
     return selected - log_norm
 
 
+def _token_stats_from_logits(
+    logits: jnp.ndarray,  # [B, L, V]
+    input_ids: jnp.ndarray,  # [B, L]
+    temperature: float,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(new_logprobs, entropy), both [B, L-1] fp32 at positions predicting
+    input_ids[:, 1:]."""
+    logits_t = logits[:, :-1, :].astype(jnp.float32) / temperature
+    targets = input_ids[:, 1:]
+    selected = jnp.take_along_axis(logits_t, targets[..., None], axis=-1)[..., 0]
+    log_norm = jax.nn.logsumexp(logits_t, axis=-1)
+    new_logprobs = selected - log_norm
+    # Exact entropy; XLA fuses the softmax with the logits producer so no
+    # extra [L, V] buffers persist (the reference chunks the vocab by hand,
+    # rl/__init__.py:222-233 — unnecessary under XLA).
+    logprobs_full = logits_t - log_norm[..., None]
+    entropy = -jnp.sum(jnp.exp(logprobs_full) * logprobs_full, axis=-1)
+    return new_logprobs, entropy
+
+
+def _token_stats_chunked(
+    model_params: dict,
+    model_cfg: ModelConfig,
+    normed_hidden: jnp.ndarray,  # [B, L, D] — final-norm'd trunk output
+    input_ids: jnp.ndarray,  # [B, L]
+    temperature: float,
+    chunk: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Same contract as ``_token_stats_from_logits`` but the [*, V] fp32
+    logits only ever exist one sequence chunk at a time: a ``lax.scan`` over
+    L/chunk blocks with ``jax.checkpoint`` recomputes each block's unembed
+    in the backward pass. At L=16384 x V=152k the full fp32 logits are
+    ~10 GB — over a v5e chip's HBM — which is what killed the round-3
+    single-chip 16k train bench; chunked, the live logits are chunk/L of
+    that. Only used when L % chunk == 0 and the program is not sequence-
+    sharded (CP shards the L axis; a scan over L would fight GSPMD)."""
+    from ..models.transformer import lm_head_logits
+
+    B, L, D = normed_hidden.shape
+    n_chunks = L // chunk
+    # targets shifted left by one: position i predicts input_ids[i+1]; the
+    # final position's target is a dummy (its stats are sliced off below)
+    targets = jnp.concatenate([input_ids[:, 1:], input_ids[:, :1]], axis=1)
+    hs = normed_hidden.reshape(B, n_chunks, chunk, D).swapaxes(0, 1)
+    ts = targets.reshape(B, n_chunks, chunk).swapaxes(0, 1)
+
+    def body(_, xs):
+        h_c, t_c = xs
+        logits_t = lm_head_logits(model_params, model_cfg, h_c) / temperature
+        log_norm = jax.nn.logsumexp(logits_t, axis=-1)
+        selected = jnp.take_along_axis(logits_t, t_c[..., None], axis=-1)[..., 0]
+        logprobs_full = logits_t - log_norm[..., None]
+        ent = -jnp.sum(jnp.exp(logprobs_full) * logprobs_full, axis=-1)
+        return None, (selected - log_norm, ent)
+
+    _, (lp_b, ent_b) = jax.lax.scan(jax.checkpoint(body), None, (hs, ts))
+    new_logprobs = lp_b.swapaxes(0, 1).reshape(B, L)[:, :-1]
+    entropy = ent_b.swapaxes(0, 1).reshape(B, L)[:, :-1]
+    return new_logprobs, entropy
+
+
 def rl_loss_from_logits(
     logits: jnp.ndarray,  # [1, L, V] fp32
     batch: dict,  # arrays of TrainerBatch, each [1, L]
@@ -100,22 +161,30 @@ def rl_loss_from_logits(
     Split from the model forward so tests can drive it with synthetic logits
     and so alternative forwards (remat, CP) reuse the same math.
     """
+    new_logprobs, entropy = _token_stats_from_logits(
+        logits, batch["input_ids"], cfg.temperature
+    )
+    return _rl_loss_from_stats(
+        new_logprobs, entropy, batch, step, max_step, cfg,
+        axis_name=axis_name, values=values,
+    )
+
+
+def _rl_loss_from_stats(
+    new_logprobs: jnp.ndarray,  # [B, L-1] fp32
+    entropy: jnp.ndarray,  # [B, L-1] fp32 (differentiable)
+    batch: dict,
+    step: jnp.ndarray,
+    max_step: int,
+    cfg: RLLossConfig,
+    axis_name: str | None = None,
+    values: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, dict]:
     input_ids = batch["input_ids"]
     labels = batch["labels"]
     masks = (labels != -100)[:, 1:]
     masks_f = masks.astype(jnp.float32)
 
-    logits_t = logits[:, :-1, :].astype(jnp.float32) / cfg.temperature
-    targets = input_ids[:, 1:]
-    selected = jnp.take_along_axis(logits_t, targets[..., None], axis=-1)[..., 0]
-    log_norm = jax.nn.logsumexp(logits_t, axis=-1)
-    new_logprobs = selected - log_norm
-
-    # Exact entropy; XLA fuses the softmax with the logits producer so no
-    # extra [L, V] buffers persist (the reference chunks the vocab by hand,
-    # rl/__init__.py:222-233 — unnecessary under XLA).
-    logprobs_full = logits_t - log_norm[..., None]
-    entropy = -jnp.sum(jnp.exp(logprobs_full) * logprobs_full, axis=-1)
     if not cfg.use_entropy_loss:
         entropy = jax.lax.stop_gradient(entropy)
 
@@ -294,14 +363,24 @@ def rl_loss(
     attn_impl: str = "xla",
     image_embeds: jnp.ndarray | None = None,  # [B, M, D] frozen-tower output
     image_mask: jnp.ndarray | None = None,  # [B, L] placeholder positions
+    logits_chunk: int | None = None,  # sequence-chunked unembed (see below)
 ) -> tuple[jnp.ndarray, dict]:
     """Forward + loss for one packed micro-batch. The loss of a sentinel batch
     is multiplied by 0 (matched collective/gradient structure across ranks,
     reference finetune_loop.py:784-786). VLM rows pass mrope position rows as
-    batch["position_ids"] ([3, B, L]) plus spliced visual tokens."""
+    batch["position_ids"] ([3, B, L]) plus spliced visual tokens.
+
+    ``logits_chunk``: when set (single-device long rows), the [L, V] fp32
+    logits are never materialized — the unembed + logsumexp/entropy run in a
+    rematerialized scan over L/chunk blocks (``_token_stats_chunked``).
+    Leave None under CP (the L axis is sharded) and for short rows."""
     model_params = {
         k: v for k, v in params.items() if k not in ("value_head", "vision_tower")
     }
+    L = batch["input_ids"].shape[1]
+    chunked = (
+        logits_chunk is not None and L % logits_chunk == 0 and L > logits_chunk
+    )
     outs = forward(
         model_params,
         model_cfg,
@@ -313,6 +392,7 @@ def rl_loss(
         return_hidden="value_head" in params,
         image_embeds=image_embeds,
         image_mask=image_mask,
+        skip_unembed=chunked,
     )
     values = None
     if "value_head" in params:
@@ -322,9 +402,21 @@ def rl_loss(
         values = value_predictions(params["value_head"], hidden)
     else:
         logits = outs
-    loss, metrics = rl_loss_from_logits(
-        logits, batch, step, max_step, loss_cfg, axis_name=axis_name, values=values
-    )
+    if chunked:
+        # ``logits`` holds the final-norm'd hidden under skip_unembed
+        new_logprobs, entropy = _token_stats_chunked(
+            model_params, model_cfg, logits, batch["input_ids"],
+            loss_cfg.temperature, logits_chunk,
+        )
+        loss, metrics = _rl_loss_from_stats(
+            new_logprobs, entropy, batch, step, max_step, loss_cfg,
+            axis_name=axis_name, values=values,
+        )
+    else:
+        loss, metrics = rl_loss_from_logits(
+            logits, batch, step, max_step, loss_cfg,
+            axis_name=axis_name, values=values,
+        )
     loss = loss * (1.0 - sentinel)
     metrics["loss"] = loss
     return loss, metrics

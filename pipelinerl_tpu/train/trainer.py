@@ -277,6 +277,10 @@ class TrainerLoop:
                     block_kv=int(cfg.finetune.get("cp_block_kv", 1024)),
                 )
         max_step = self.max_train_steps
+        # single-device long rows: never materialize the [L, V] fp32 logits
+        # (10 GB at 16k x 152k vocab — over v5e HBM); under CP the L axis is
+        # GSPMD-sharded and each device already holds only L/cp of the logits
+        logits_chunk = 2048 if (cp == 1 and seq_length >= 8192) else None
 
         lora_cfg = self.lora_cfg
 
@@ -285,7 +289,7 @@ class TrainerLoop:
                 full = merge_lora(frozen, p, lora_cfg) if lora_cfg.enabled else p
                 return rl_loss(
                     full, model_cfg, self.loss_cfg, batch, step, max_step, sentinel,
-                    remat=remat, attn_impl=attn_impl,
+                    remat=remat, attn_impl=attn_impl, logits_chunk=logits_chunk,
                 )
             (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             # global sample/token counts ride the SAME device reduction and

@@ -292,3 +292,68 @@ def test_gspo_psum_path_shard_map_parity():
     np.testing.assert_allclose(
         np.asarray(grad_cp), np.asarray(grad_ref), rtol=1e-4, atol=1e-6
     )
+
+
+@pytest.mark.parametrize("policy", ["reinforce", "gspo"])
+@pytest.mark.parametrize("entropy_bonus", [0.0, 0.05])
+def test_chunked_logits_matches_full(policy, entropy_bonus):
+    """logits_chunk (sequence-chunked unembed, the single-chip long-context
+    path) must reproduce the full-logits loss AND gradients exactly — it is
+    the same math with the [L, V] buffer tiled over a remat scan."""
+    rng = np.random.default_rng(7)
+    L = 32
+    model_cfg = ModelConfig(
+        vocab_size=64, hidden_size=16, intermediate_size=32, num_layers=2,
+        num_heads=2, num_kv_heads=2, dtype=jnp.float32,
+    )
+    params = init_params(jax.random.key(0), model_cfg)
+    cfg = RLLossConfig(
+        policy_loss=policy, batch_size=2, max_segments=8, kl_coef=0.1,
+        entropy_bonus=entropy_bonus, temperature=0.9,
+    )
+    samples = []
+    for i in range(2):
+        n_prompt, n_out = 3, 9
+        ids = rng.integers(1, 60, n_prompt + n_out).tolist()
+        samples.append(
+            prepare_rl_fields(
+                {
+                    "input_ids": ids,
+                    "labels": [MASKED_TOKEN_ID] * n_prompt + ids[n_prompt:],
+                    "reward": float(i),
+                    "logprobs": [-0.5] * n_out,
+                    "group_id": "g",
+                    "rollout_index": i,
+                    "step_index": 0,
+                    "finished": True,
+                    "model_version": 0,
+                }
+            )
+        )
+    populate_rl_data(samples, EOS)
+    batch = {k: jnp.asarray(v) for k, v in pack_samples(samples, L, EOS).arrays().items()}
+
+    def run(chunk):
+        def f(p):
+            loss, metrics = rl_loss(
+                p, model_cfg, cfg, batch, jnp.zeros(()), 10, jnp.zeros(()),
+                remat=False, logits_chunk=chunk,
+            )
+            return loss, metrics
+        (loss, metrics), grads = jax.value_and_grad(f, has_aux=True)(params)
+        return loss, metrics, grads
+
+    loss_full, metrics_full, grads_full = run(None)
+    loss_chunk, metrics_chunk, grads_chunk = run(8)
+    np.testing.assert_allclose(loss_chunk, loss_full, rtol=1e-6)
+    np.testing.assert_allclose(
+        metrics_chunk["entropy"], metrics_full["entropy"], rtol=1e-6
+    )
+    # tolerance covers fp32 reassociation: the chunk scan accumulates the
+    # unembed/trunk gradients in a different order than one full matmul
+    # (measured max abs diff 8e-6 on O(0.15) elements; loss bit-identical)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-5),
+        grads_full,
+        grads_chunk,
+    )
