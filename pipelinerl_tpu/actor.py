@@ -338,7 +338,8 @@ class ActorLoop:
             from .domain_sampling import DomainWeightedSampler
 
             sampler = DomainWeightedSampler(
-                self.problems, dict(domain_mix.items()), rng=self._rng
+                self.problems, dict(domain_mix.items()), rng=self._rng,
+                adaptive=bool(self.cfg.get("adaptive_domain_sampling", True)),
             )
             problem_iter = iter(self._sampled_stream(sampler, total_groups))
         else:

@@ -99,6 +99,11 @@ class EngineConfig:
     # per step than threefry's bit arithmetic at [S, V] Gumbel draws) or
     # "threefry2x32" (JAX default, bit-reproducible across backends)
     rng_impl: str = "rbg"
+    # host-side weight pushes up to this size are double-buffered on device
+    # (atomic pointer swap); larger pushes (7B bf16 ~15 GB on a 16 GB v5e
+    # cannot hold two copies) stream leaf-by-leaf with one-leaf HBM overhead
+    # (see _transfer_loop)
+    push_double_buffer_max_bytes: int = 6 << 30
     # KV layout: "slab" reserves a contiguous [S, max_len] cache per slot;
     # "paged" allocates fixed-size pages from a shared pool (the vLLM paged
     # attention role, SURVEY.md §2.4) — HBM holds only tokens that exist,
@@ -194,6 +199,7 @@ class _Window:
     active: np.ndarray  # [S] snapshot at dispatch
     gens: np.ndarray  # [S] slot generations at dispatch
     pending: list[int]  # slots whose prefill first token rides along
+    n_steps: int = 0  # window size (steps) — known at dispatch
 
 
 class InferenceEngine:
@@ -219,10 +225,14 @@ class InferenceEngine:
         self.vision_params = vision_params
         self.vision_cfg = vision_cfg
         self._pending_params: tuple[dict, int] | None = None
-        self._pending_host_params: tuple[dict, int] | None = None
-        self._stream_state: list | None = None
         self._pending_vision: dict | None = None
         self._params_lock = threading.Lock()
+        # host-side (numpy-leaf) pushes are staged onto the device by a
+        # dedicated transfer thread; the engine thread only pointer-swaps
+        self._transfer_pending: tuple[dict, int, dict | None] | None = None
+        self._transfer_event = threading.Event()
+        self._transfer_thread: threading.Thread | None = None
+        self.last_push_timings: dict = {}
 
         S, T = cfg.max_slots, cfg.max_len
         L = model_cfg.num_layers
@@ -274,7 +284,7 @@ class InferenceEngine:
             self.prefix_cache = (
                 PrefixCache(self.block_pool) if cfg.prefix_cache else None
             )
-            self._prefill_extend_fns: dict[tuple[int, int], Any] = {}
+            self._prefill_extend_fns: dict[tuple[int, int, int], Any] = {}
         else:
             self.k_cache = jnp.zeros(cache_shape, cfg.cache_dtype)
             self.v_cache = jnp.zeros(cache_shape, cfg.cache_dtype)
@@ -326,6 +336,13 @@ class InferenceEngine:
         self._decode_fns: dict[tuple[int, bool], Any] = {}
         self._rng_device = jax.random.key(cfg.seed + 1, impl=cfg.rng_impl)
         self._windows: deque[_Window] = deque()
+        # early-retired occupants: (slot, gen) -> state. A slot whose
+        # remaining budget is already covered by dispatched-but-unsynced
+        # windows is freed for admission NOW; its results resolve at sync.
+        # This removes the depth-driven detection lag for budget-bound
+        # finishes — the dominant term of the round-3 23% continuous-stream
+        # waste (per finish: ~W*(depth-1) pure-speculation tokens).
+        self._retiring: dict[tuple[int, int], _Slot] = {}
         self._gen_counter = 0
         self._abort_ids: set[str] = set()
         self._fork_fns: dict[int, Any] = {}
@@ -422,11 +439,12 @@ class InferenceEngine:
         (finetune.train_vision_tower) also refreshes the engine's tower.
 
         HOST-side trees (numpy leaves, e.g. a deserialized HTTP push) are
-        STREAMED: the engine thread transfers a bounded number of bytes
-        between decode windows instead of one multi-GB atomic device_put —
-        an atomic transfer monopolizes the host->device link and stalls
-        decode for its full duration (round-3 bench measured utilization
-        0.00 during a 1.26 GB push; the BASELINE north star is >= 0.9)."""
+        handed to a dedicated TRANSFER THREAD that stages every leaf onto
+        the device (H2D DMA overlaps decode compute) and only then publishes
+        the complete device-side tree for the engine thread to pointer-swap.
+        Round 3 instead chunked device_put calls ON the engine thread, which
+        blocked decoding for the duration of every chunk (BENCH_r03 measured
+        utilization 0.008 during a 1.26 GB push; BASELINE north star >= 0.9)."""
         vision_tower = None
         if "vision_tower" in params:
             params = dict(params)
@@ -434,12 +452,15 @@ class InferenceEngine:
         is_host_tree = all(
             isinstance(leaf, np.ndarray) for leaf in jax.tree.leaves(params)
         )
-        if is_host_tree and self.mesh is None:
+        if is_host_tree:
             with self._params_lock:
-                self._pending_host_params = (params, version)
-                if vision_tower is not None:
-                    self._pending_vision = vision_tower
-            self._work_event.set()
+                self._transfer_pending = (params, version, vision_tower)
+            if self._transfer_thread is None or not self._transfer_thread.is_alive():
+                self._transfer_thread = threading.Thread(
+                    target=self._transfer_loop, daemon=True, name="weight-transfer"
+                )
+                self._transfer_thread.start()
+            self._transfer_event.set()
             return
         if self.mesh is not None:
             from ..parallel import shard_params
@@ -450,6 +471,100 @@ class InferenceEngine:
             if vision_tower is not None:
                 self._pending_vision = vision_tower
         self._work_event.set()
+
+    def _transfer_loop(self) -> None:
+        """Stage host-side weight pushes device-ward off the engine thread.
+
+        Latest push wins: a newer push arriving mid-transfer supersedes the
+        one in flight (its staged arrays are dropped).
+
+        Two modes by push size:
+        - double-buffer (default): stage the COMPLETE device tree, publish
+          via _pending_params; the engine thread's swap is O(pointers) and
+          version-atomic.
+        - leaf-streamed (pushes too large to double-buffer, e.g. 7B on a
+          16 GB v5e): each leaf is staged and swapped into the live tree
+          individually, bounding extra HBM to one leaf. Decode steps during
+          the stream run on a MIXED old/new tree — still RL-correct, because
+          every sampled token's reported logprob comes from the same logits
+          that sampled it (the behavior-policy contract), and the request's
+          model_version_start/end stamps bracket the transition exactly as
+          they do for the atomic swap."""
+        while not self._stop.is_set():
+            self._transfer_event.wait(timeout=0.1)
+            self._transfer_event.clear()
+            with self._params_lock:
+                job = self._transfer_pending
+                self._transfer_pending = None
+            if job is None:
+                continue
+            params, version, vision_tower = job
+            nbytes = sum(leaf.nbytes for leaf in jax.tree.leaves(params))
+            t0 = time.monotonic()
+            if self.mesh is None and nbytes > self.cfg.push_double_buffer_max_bytes:
+                try:
+                    superseded = self._stream_leaves_inplace(params, version)
+                except Exception:  # noqa: BLE001 — a bad push must not kill the thread
+                    logger.exception("leaf-streamed weight push failed; dropped")
+                    continue
+                if superseded:
+                    continue
+                transfer_s = time.monotonic() - t0
+                with self._params_lock:
+                    if vision_tower is not None:
+                        self._pending_vision = jax.tree.map(
+                            jax.device_put, vision_tower
+                        )
+            else:
+                if self.mesh is not None:
+                    from ..parallel import shard_params
+
+                    device_tree = shard_params(params, self.mesh)
+                else:
+                    device_tree = jax.tree.map(jax.device_put, params)
+                jax.block_until_ready(device_tree)
+                transfer_s = time.monotonic() - t0
+                with self._params_lock:
+                    if self._transfer_pending is not None:
+                        continue  # superseded mid-transfer; drop this tree
+                    self._pending_params = (device_tree, version)
+                    if vision_tower is not None:
+                        self._pending_vision = jax.tree.map(
+                            jax.device_put, vision_tower
+                        )
+            self.last_push_timings = {
+                "transfer_s": transfer_s,
+                "bytes": nbytes,
+                "gbps": nbytes / max(transfer_s, 1e-9) / 1e9,
+                "mode": "streamed" if (
+                    self.mesh is None
+                    and nbytes > self.cfg.push_double_buffer_max_bytes
+                ) else "double-buffer",
+            }
+            self._work_event.set()
+
+    def _stream_leaves_inplace(self, params: dict, version: int) -> bool:
+        """Leaf-streamed push: stage one leaf at a time and splice it into a
+        fresh tree published to ``self.params`` (engine thread reads the
+        whole-tree reference once per dispatch, so each splice is atomic).
+        Returns True if a newer push superseded this one mid-stream."""
+        new_leaves, treedef = jax.tree.flatten(params)
+        with self._params_lock:
+            live_leaves, live_def = jax.tree.flatten(self.params)
+        assert treedef == live_def, "pushed tree shape != engine tree shape"
+        for idx, leaf in enumerate(new_leaves):
+            staged = jax.device_put(leaf)
+            staged.block_until_ready()
+            with self._params_lock:
+                if self._transfer_pending is not None or self._pending_params is not None:
+                    return True  # newer push wins; stop splicing
+                live_leaves[idx] = staged
+                self.params = jax.tree.unflatten(treedef, list(live_leaves))
+        with self._params_lock:
+            if self._transfer_pending is not None or self._pending_params is not None:
+                return True
+            self.version = version
+        return False
 
     def score_tokens(self, input_ids: Sequence[int], temperature: float = 1.0) -> list[float]:
         """Teacher-forced per-token logprobs (positions 1..n-1) under the
@@ -472,8 +587,11 @@ class InferenceEngine:
     def stop(self) -> None:
         self._stop.set()
         self._work_event.set()
+        self._transfer_event.set()
         if self._thread is not None:
             self._thread.join(timeout=10)
+        if self._transfer_thread is not None:
+            self._transfer_thread.join(timeout=10)
 
     @property
     def num_active(self) -> int:
@@ -503,6 +621,7 @@ class InferenceEngine:
             "aborted_requests": self.aborted_requests,
             "num_active": self.num_active,
             "num_pending": self.num_pending,
+            "num_retiring": len(self._retiring),
             **(
                 {
                     "kv_pages_free": self.block_pool.free_blocks,
@@ -533,58 +652,73 @@ class InferenceEngine:
                 self._work_event.clear()
 
     def step(self) -> bool:
-        """One scheduling iteration: apply weight swap, abort, admit, decode."""
+        """One scheduling iteration: apply weight swap, abort, retire,
+        admit, decode."""
         self._maybe_swap_params()
         aborted = self._process_aborts()
+        self._retire_exhausted()
         admitted = self._admit()
         decoded = self._decode()
         return aborted or admitted or decoded
 
+    def _retire_exhausted(self) -> None:
+        """Free slots whose remaining token budget is already covered by
+        dispatched-but-unsynced windows (budget-bound finishes are exactly
+        predictable on the host; no device sync needed). The occupant's
+        state moves to the retiring registry and its future resolves at the
+        finishing window's sync; the slot admits a fresh request that rides
+        the very next window instead of decoding pure speculation for
+        W*(depth-1) more steps. Stop-token finishes stay on the synced path
+        (unpredictable)."""
+        if not self._windows:
+            return
+        for i, s in enumerate(self._slots):
+            if s is None:
+                continue
+            inflight = sum(
+                w.n_steps
+                for w in self._windows
+                if w.active[i] and w.gens[i] == s.gen
+            )
+            if inflight == 0:
+                continue
+            projected = len(s.token_ids) + (1 if s.pending_first else 0) + inflight
+            if projected < s.max_new_tokens:
+                continue
+            self._slots[i] = None
+            self._retiring[(i, s.gen)] = s
+            if self.paged:
+                if (
+                    self.prefix_cache is not None
+                    and s.request.visual is None
+                    and self._pos_delta[i] == 0
+                    and s.token_ids
+                ):
+                    # register the COMMITTED prefix (a true prefix of the
+                    # final transcript); in-flight writes land at positions
+                    # >= the committed length, outside these full pages
+                    self.prefix_cache.register(
+                        s.request.prompt_ids + s.token_ids,
+                        self.block_pool.table[i],
+                    )
+                # reallocated pages are safe for the same program-order
+                # reason as _finish_slot's release
+                self.block_pool.release(i)
+                self._slot_capacity[i] = 0
+
     def _maybe_swap_params(self) -> None:
+        """Pointer-swap a fully-staged device tree (published either directly
+        by update_params or by the transfer thread). O(1): no bytes move on
+        the engine thread."""
         with self._params_lock:
             pending = self._pending_params
             pending_vision = self._pending_vision
-            pending_host = self._pending_host_params
             self._pending_params = None
             self._pending_vision = None
-            if pending_host is not None:
-                # a newer host push supersedes any in-progress stream
-                self._pending_host_params = None
-                self._stream_state = None
         if pending is not None:
             self.params, self.version = pending
-            self._stream_state = None  # device push supersedes a stream
         if pending_vision is not None:
             self.vision_params = pending_vision
-        if pending_host is not None:
-            leaves, treedef = jax.tree.flatten(pending_host[0])
-            self._stream_state = [leaves, treedef, pending_host[1], 0, []]
-        self._stream_chunk()
-
-    # transfer budget per scheduling iteration for streamed host pushes:
-    # small enough that decode windows interleave, large enough to finish a
-    # 0.5B push within a few dozen windows
-    _STREAM_CHUNK_BYTES = 64 * 1024 * 1024
-
-    def _stream_chunk(self) -> None:
-        """Transfer up to _STREAM_CHUNK_BYTES of a pending host-side weight
-        push, then return to decoding; swap once every leaf has landed."""
-        st = self._stream_state
-        if st is None:
-            return
-        leaves, treedef, version, idx, done = st
-        budget = self._STREAM_CHUNK_BYTES
-        while idx < len(leaves) and budget > 0:
-            leaf = leaves[idx]
-            done.append(jax.device_put(leaf))
-            budget -= leaf.nbytes
-            idx += 1
-        if idx >= len(leaves):
-            self.params = jax.tree.unflatten(treedef, done)
-            self.version = version
-            self._stream_state = None
-        else:
-            st[3] = idx
 
     def _next_rng(self) -> jax.Array:
         self._rng, sub = jax.random.split(self._rng)
@@ -1346,7 +1480,7 @@ class InferenceEngine:
         self.windows_dispatched += 1
         self.window_slots_dispatched += int(active.sum())
         self.window_size_counts[window] = self.window_size_counts.get(window, 0) + 1
-        self._windows.append(_Window(packed, active, gens, pending))
+        self._windows.append(_Window(packed, active, gens, pending, n_steps=window))
         while len(self._windows) >= max(1, self.cfg.window_pipeline_depth):
             self._process_window(self._windows.popleft())
         return True
@@ -1362,7 +1496,9 @@ class InferenceEngine:
         self.decode_steps += n_steps
         for i in w.pending:
             s = self._slots[i]
-            if s is None or s.gen != w.gens[i] or not s.pending_first:
+            if s is None or s.gen != w.gens[i]:
+                s = self._retiring.get((i, int(w.gens[i])))
+            if s is None or not s.pending_first:
                 continue
             s.pending_first = False
             token = int(first_tokens[i])
@@ -1371,17 +1507,32 @@ class InferenceEngine:
             s.logprobs.append(float(first_logprobs[i]))
             self.total_generated_tokens += 1
             self._notify(s.request, [token], [float(first_logprobs[i])], None)
-            self._maybe_finish(i, token)
+            if self._slots[i] is s:
+                self._maybe_finish(i, token)
+            elif (
+                token in self._stop_tokens(s.request.params)
+                or len(s.token_ids) >= s.max_new_tokens
+            ):
+                finish = (
+                    "stop" if token in self._stop_tokens(s.request.params) else "length"
+                )
+                self._resolve_retired((i, int(w.gens[i])), s, finish)
         # vectorized per-slot consume: find the cut (first stop token or
         # length budget), then bulk-extend — the naive token-by-token Python
         # loop cost ~1.7 ms/step of host time at batch 64, dwarfing the
         # 3 ms/step device time
-        for i, s in enumerate(self._slots):
-            if w.active[i] and (s is None or s.gen != w.gens[i]):
+        for i in range(len(self._slots)):
+            if not w.active[i]:
+                continue
+            s = self._slots[i]
+            retired = False
+            if s is None or s.gen != w.gens[i]:
+                s = self._retiring.get((i, int(w.gens[i])))
+                retired = s is not None
+            if s is None:
                 # the window's occupant finished/aborted before this sync —
                 # everything it decoded here was speculation
                 self.speculative_wasted_tokens += n_steps
-            if s is None or not w.active[i] or s.gen != w.gens[i]:
                 continue
             col = win_tokens[:, i]
             stops = self._stop_tokens(s.request.params)
@@ -1408,7 +1559,26 @@ class InferenceEngine:
                 self._notify(s.request, chunk, chunk_lps, None)
             if finish is not None:
                 self.speculative_wasted_tokens += n_steps - cut
-                self._finish_slot(i, finish)
+                if retired:
+                    self._resolve_retired((i, int(w.gens[i])), s, finish)
+                else:
+                    self._finish_slot(i, finish)
+
+    def _resolve_retired(self, key: tuple[int, int], state: _Slot, finish: str) -> None:
+        """Resolve an early-retired occupant's future at its finishing
+        window's sync (the slot itself was freed at retire time)."""
+        self._retiring.pop(key, None)
+        self._notify(state.request, [], [], finish)
+        state.future.set_result(
+            GenResult(
+                token_ids=state.token_ids,
+                logprobs=state.logprobs,
+                finish_reason=finish,
+                model_version_start=state.version_start,
+                model_version_end=self.version,
+                prompt_tokens=len(state.request.prompt_ids),
+            )
+        )
 
 
 # ---------------------------------------------------------------------------

@@ -313,19 +313,26 @@ class InferenceServer:
         loop = asyncio.get_event_loop()
         if request.content_type == "application/x-msgpack":
             body = await request.read()
+            from .weight_transfer import deserialize_params
 
-            def deserialize_and_swap():
-                from .weight_transfer import deserialize_params
-
-                params, version = deserialize_params(body)
-                params.pop("value_head", None)  # trainer-only
-                # hand the HOST arrays to the engine: it streams them to the
-                # device in bounded chunks between decode windows instead of
-                # one multi-GB atomic transfer stalling decode
-                self.engine.update_params(params, version)
-                return version
-
-            version = await loop.run_in_executor(None, deserialize_and_swap)
+            # PWT2 deserialize is a handful of np.frombuffer views — cheap
+            params, version = deserialize_params(body)
+            params.pop("value_head", None)  # trainer-only
+            # hand the HOST arrays to the engine's transfer thread: it
+            # stages them onto the device while decode continues, then the
+            # engine thread pointer-swaps between windows
+            self.engine.update_params(params, version)
+            # reply only once the swap is live so HTTP 200 == "engine now
+            # serves version" (the reference's pause-scoped broadcast gives
+            # the same guarantee, vllm1.py:155-182); decode is NOT paused
+            # while we wait here
+            deadline = loop.time() + 600
+            while self.engine.version < version and loop.time() < deadline:
+                await asyncio.sleep(0.02)
+            if self.engine.version < version:
+                return web.json_response(
+                    {"error": "weight swap did not land within 600s"}, status=504
+                )
             return web.json_response({"status": "ok", "version": version})
         body = await request.json()
         ckpt_dir = body["checkpoint_dir"]

@@ -7,30 +7,38 @@ vllm1.py:155-182). The TPU-native design has three tiers:
 - same process / same mesh: pointer swap (``engine.update_params``) — no
   bytes move; the engine never pauses (launch.py inline mode);
 - same host, different process: this module — the trainer serializes its
-  (host-local, de-sharded) param arrays into one msgpack body and POSTs it
-  to each engine's ``/receive_weight_update``; the engine deserializes
-  straight onto the device and pointer-swaps between decode windows;
+  (host-local, de-sharded) param arrays into one header+blob body and POSTs
+  it to each engine's ``/receive_weight_update`` (all engines in parallel,
+  mirroring the reference's thread-pool fan-out at finetune_loop.py:183-198);
+  the engine's transfer thread stages the arrays onto the device while
+  decoding continues, then the engine thread pointer-swaps;
 - multi-host trainer mesh: rank 0 first gathers params to a replicated
   sharding (one ICI/DCN all-gather materialized by GSPMD via device_put),
   then ships its addressable copy as above.
 
-No checkpoint files are written on the push path (the round-1 design wrote
-a full HF checkpoint per update; at 7B that is tens of seconds of disk IO
-per optimizer step — this sends device-to-wire-to-device).
+Wire format (``PWT2``): a tiny msgpack header (names/dtypes/shapes/offsets)
+followed by the raw concatenated tensor bytes. Deserialization is a handful
+of ``np.frombuffer`` views into the body — microseconds of GIL — unlike the
+round-3 format which msgpack-unpacked the full multi-GB body in one C call
+with the GIL held, starving the engine thread (BENCH_r03 measured decode
+utilization 0.008 during a push; the BASELINE north star is >= 0.9).
 """
 
 from __future__ import annotations
 
 import logging
+import struct
 import time
+from concurrent.futures import ThreadPoolExecutor
 from typing import Iterable
 
 import jax
+import msgpack
 import numpy as np
 
-from ..streams_binary import decode, encode
-
 logger = logging.getLogger(__name__)
+
+_MAGIC = b"PWT2"
 
 
 def _dtype_from_name(name: str) -> np.dtype:
@@ -62,27 +70,51 @@ def unflatten_params(flat: dict) -> dict:
     return tree
 
 
+def _byte_view(host: np.ndarray) -> memoryview:
+    """Flat uint8 view of an array's bytes without copying (works for
+    ml_dtypes like bfloat16 that reject a direct memoryview)."""
+    if not host.flags["C_CONTIGUOUS"]:
+        host = np.ascontiguousarray(host)
+    return memoryview(host.reshape(-1).view(np.uint8))
+
+
 def serialize_params(params: dict, version: int) -> bytes:
-    """→ one msgpack body: {"version", "tensors": {path: {dtype, shape, data}}}.
-    bf16 arrays pass through as raw bytes (ml_dtypes names the dtype)."""
-    tensors = {}
+    """→ ``PWT2 | u64 header_len | msgpack header | raw tensor blob``."""
+    entries = []
+    chunks: list = []
+    offset = 0
     for path, arr in flatten_params(params):
         host = np.asarray(jax.device_get(arr))
-        tensors[path] = {
-            "dtype": host.dtype.name,
-            "shape": list(host.shape),
-            "data": host.tobytes(),
-        }
-    return encode({"version": int(version), "tensors": tensors})
+        view = _byte_view(host)
+        entries.append(
+            {
+                "name": path,
+                "dtype": host.dtype.name,
+                "shape": list(host.shape),
+                "offset": offset,
+                "nbytes": view.nbytes,
+            }
+        )
+        chunks.append(view)
+        offset += view.nbytes
+    header = msgpack.packb({"version": int(version), "tensors": entries})
+    return b"".join([_MAGIC, struct.pack("<Q", len(header)), header, *chunks])
 
 
 def deserialize_params(body: bytes) -> tuple[dict, int]:
-    msg = decode(body)
+    """Zero-copy: each tensor is an ``np.frombuffer`` view into ``body``."""
+    if body[:4] != _MAGIC:
+        raise ValueError("not a PWT2 weight-push body")
+    (header_len,) = struct.unpack_from("<Q", body, 4)
+    header = msgpack.unpackb(body[12 : 12 + header_len], raw=False)
+    base = 12 + header_len
     flat = {}
-    for path, t in msg["tensors"].items():
-        arr = np.frombuffer(t["data"], dtype=_dtype_from_name(t["dtype"]))
-        flat[path] = arr.reshape(t["shape"])
-    return unflatten_params(flat), int(msg["version"])
+    for t in header["tensors"]:
+        dt = _dtype_from_name(t["dtype"])
+        count = t["nbytes"] // dt.itemsize
+        arr = np.frombuffer(body, dtype=dt, count=count, offset=base + t["offset"])
+        flat[t["name"]] = arr.reshape(t["shape"])
+    return unflatten_params(flat), int(header["version"])
 
 
 def gather_for_push(params: dict, mesh) -> dict:
@@ -102,25 +134,39 @@ def gather_for_push(params: dict, mesh) -> dict:
     )
 
 
+def _push_one(url: str, body: bytes, timeout: float) -> None:
+    import urllib.request
+
+    req = urllib.request.Request(
+        f"{url}/receive_weight_update",
+        data=body,
+        headers={"Content-Type": "application/x-msgpack"},
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+        if resp.status != 200:
+            raise RuntimeError(f"weight push to {url} failed: HTTP {resp.status}")
+
+
 def push_weights_http(
     urls: list[str], params: dict, version: int, timeout: float = 300.0
 ) -> None:
-    """POST the serialized params to every engine server. Engines swap
-    in-flight (no pause); failures raise after logging which URL broke."""
-    import urllib.request
-
+    """POST the serialized params to every engine server IN PARALLEL
+    (reference fan-out: finetune_loop.py:183-198). Engines swap in-flight
+    (no pause); any failure raises after all pushes settle."""
     body = serialize_params(params, version)
     t0 = time.monotonic()
-    for url in urls:
-        req = urllib.request.Request(
-            f"{url}/receive_weight_update",
-            data=body,
-            headers={"Content-Type": "application/x-msgpack"},
-            method="POST",
-        )
-        with urllib.request.urlopen(req, timeout=timeout) as resp:
-            if resp.status != 200:
-                raise RuntimeError(f"weight push to {url} failed: HTTP {resp.status}")
+    with ThreadPoolExecutor(max_workers=max(1, len(urls))) as pool:
+        futures = {pool.submit(_push_one, url, body, timeout): url for url in urls}
+        errors = []
+        for fut, url in futures.items():
+            try:
+                fut.result()
+            except Exception as exc:  # surface every broken URL, then raise
+                logger.error("weight push to %s failed: %s", url, exc)
+                errors.append((url, exc))
+    if errors:
+        raise RuntimeError(f"weight push failed for {[u for u, _ in errors]}")
     logger.info(
         "Pushed %.1f MB of weights (v%d) to %d engine(s) in %.2fs",
         len(body) / 1e6, version, len(urls), time.monotonic() - t0,

@@ -92,6 +92,18 @@ def build_model(cfg: Config):
 
     params, model_cfg = load_hf_model(model_path, dtype=train_dtype)
     tokenizer = AutoTokenizer.from_pretrained(model_path)
+    # padded-vocab guard: Qwen-family checkpoints carry more logit rows than
+    # tokenizer entries; mask the untrained padding rows out of every logits
+    # consumer (models/transformer.lm_head_logits)
+    n_tok = len(tokenizer)
+    if n_tok < model_cfg.vocab_size:
+        from dataclasses import replace as _dc_replace
+
+        model_cfg = _dc_replace(model_cfg, valid_vocab=n_tok)
+        logger.info(
+            "Masking %d padded logit rows (vocab %d, tokenizer %d)",
+            model_cfg.vocab_size - n_tok, model_cfg.vocab_size, n_tok,
+        )
     return params, model_cfg, tokenizer
 
 

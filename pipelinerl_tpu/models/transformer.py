@@ -53,6 +53,12 @@ class ModelConfig:
     image_token_id: int | None = None
     vision_start_token_id: int | None = None
     vision_end_token_id: int | None = None
+    # tokenizer entry count when smaller than vocab_size (padded checkpoints
+    # like Qwen2.5: 151,936 logit rows vs ~151,643 tokenizer entries). The
+    # sampler excludes ids >= valid_vocab from the candidate set so an
+    # untrained padding row can never be emitted (reference patches them
+    # post-hoc instead: preprocess.py:107 replace_oov_tokens_with_the).
+    valid_vocab: int | None = None
 
     @property
     def head_dim_(self) -> int:
@@ -216,12 +222,24 @@ def _mlp(layer: dict, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def lm_head_logits(params: dict, cfg: ModelConfig, x_normed: jnp.ndarray) -> jnp.ndarray:
-    """FP32 lm_head over already-final-norm'd hidden states."""
+    """FP32 lm_head over already-final-norm'd hidden states.
+
+    ``cfg.valid_vocab``: padded-checkpoint logit rows (ids >= tokenizer
+    entries) are masked to a large negative here — the single funnel every
+    consumer shares (engine sampler, engine score_tokens, trainer rl_loss),
+    so sampler and trainer logprobs stay exactly consistent while untrained
+    padding ids can never be sampled (reference analogue:
+    preprocess.py:107 replace_oov_tokens_with_the)."""
     if cfg.tie_word_embeddings:
         w = params["embed"].astype(jnp.float32).T
     else:
         w = params["lm_head"].astype(jnp.float32)
-    return jnp.dot(x_normed.astype(jnp.float32), w, preferred_element_type=jnp.float32)
+    logits = jnp.dot(x_normed.astype(jnp.float32), w, preferred_element_type=jnp.float32)
+    if cfg.valid_vocab is not None and cfg.valid_vocab < cfg.vocab_size:
+        logits = jnp.where(
+            jnp.arange(cfg.vocab_size) < cfg.valid_vocab, logits, -1e30
+        )
+    return logits
 
 
 def unembed(params: dict, cfg: ModelConfig, x: jnp.ndarray) -> jnp.ndarray:

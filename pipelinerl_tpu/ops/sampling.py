@@ -13,7 +13,16 @@ trainer/sampler contract independent of eval-time truncation settings.
 Two jitted paths:
 - fast path: no truncation (the RL rollout setting: temperature=1, top_p=1),
 - masked path: vectorized per-slot top-k and/or top-p via one descending sort.
-"""
+
+Padded-vocab guard (``valid_vocab``): checkpoints like Qwen2.5 carry more
+logit rows (151,936) than the tokenizer has entries (~151,643); the
+untrained padding rows can carry arbitrary logits and a sampled padding id
+detokenizes to garbage that would flow into training. The reference patches
+such ids post-hoc with "the" (preprocess.py:107 replace_oov_tokens_with_the);
+here padding rows are simply excluded from the CANDIDATE set at sample time
+while the reported logprob stays the full-V softmax — the exact quantity the
+trainer recomputes — so sampler/trainer logprob parity is untouched and no
+padding id can ever be emitted."""
 
 from __future__ import annotations
 
@@ -37,6 +46,7 @@ def sample_fast(
     logits: jnp.ndarray,  # [S, V] fp32
     rng: jax.Array,
     temperature: jnp.ndarray,  # [S]
+    valid_vocab: int | None = None,  # static: exclude token ids >= this
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Temperature-only sampling. Returns (tokens [S], logprobs [S]).
 
@@ -48,11 +58,18 @@ def sample_fast(
     greedy = temperature < _MIN_TEMP
     temp = jnp.maximum(temperature, _MIN_TEMP)[:, None]
     scaled = logits / temp
-    gumbel = jax.random.gumbel(rng, scaled.shape, dtype=scaled.dtype)
-    sampled = jnp.argmax(scaled + gumbel, axis=-1)
+    # candidate tensor: padding rows excluded from argmax/Gumbel-argmax only;
+    # reported logprobs below stay full-V (trainer parity)
+    cand = scaled
+    if valid_vocab is not None and valid_vocab < logits.shape[-1]:
+        cand = jnp.where(
+            jnp.arange(logits.shape[-1])[None, :] < valid_vocab, scaled, _NEG_INF
+        )
+    gumbel = jax.random.gumbel(rng, cand.shape, dtype=cand.dtype)
+    sampled = jnp.argmax(cand + gumbel, axis=-1)
     # greedy = argmax(logits) = argmax(scaled): positive temperature scaling
     # preserves the ordering, so the sampled-path tensor is reused
-    tokens = jnp.where(greedy, jnp.argmax(scaled, axis=-1), sampled)
+    tokens = jnp.where(greedy, jnp.argmax(cand, axis=-1), sampled)
     # reported logprob: log softmax(logits / report_temp); greedy slots
     # report the unscaled (T=1) distribution (_scaled_logprobs contract)
     sel_scaled = jnp.take_along_axis(scaled, tokens[:, None], axis=-1)[:, 0]
@@ -69,12 +86,17 @@ def sample_masked(
     temperature: jnp.ndarray,  # [S]
     top_p: jnp.ndarray,  # [S] in (0, 1]; 1 disables
     top_k: jnp.ndarray,  # [S] int; 0 disables
+    valid_vocab: int | None = None,  # static: exclude token ids >= this
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Per-slot top-k/top-p truncated sampling (exact, one sort per call)."""
     S, V = logits.shape
     greedy = temperature < _MIN_TEMP
     temp = jnp.maximum(temperature, _MIN_TEMP)[:, None]
     scaled = logits / temp
+    if valid_vocab is not None and valid_vocab < V:
+        # padding rows sort to the tail and can never survive top-k/top-p;
+        # reported logprobs stay full-V (see module docstring)
+        scaled = jnp.where(jnp.arange(V)[None, :] < valid_vocab, scaled, _NEG_INF)
 
     order = jnp.argsort(-scaled, axis=-1)  # descending
     sorted_scaled = jnp.take_along_axis(scaled, order, axis=-1)
@@ -89,7 +111,9 @@ def sample_masked(
     masked_sorted = jnp.where(keep_sorted, sorted_scaled, _NEG_INF)
     sampled_rank = jax.random.categorical(rng, masked_sorted, axis=-1)
     sampled = jnp.take_along_axis(order, sampled_rank[:, None], axis=-1)[:, 0]
-    tokens = jnp.where(greedy, jnp.argmax(logits, axis=-1), sampled)
+    # greedy over the masked scaled tensor: same ordering as logits within
+    # the valid rows, padding rows excluded
+    tokens = jnp.where(greedy, jnp.argmax(scaled, axis=-1), sampled)
     logprobs = jnp.take_along_axis(
         _scaled_logprobs(logits, temperature), tokens[:, None], axis=-1
     )[:, 0]

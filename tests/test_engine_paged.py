@@ -242,3 +242,42 @@ def test_auto_layout_picks_paged_at_long_context():
         prefill_buckets=(64, 128), kv_pool_blocks=64,
     )
     assert long.paged
+
+
+def test_prefix_extend_batched_heterogeneous_wave():
+    """Two lineages with DIFFERENT prefix lengths extended in the SAME
+    admission wave must share one batched _prefill_extend dispatch and
+    produce exact parity with a cold (prefix_cache=False) engine — guards
+    the heterogeneous (prefix_len, page-count) batching added in round 3
+    (advisor round-3 finding: the path was only probed externally)."""
+    params, model_cfg = _model()
+    rng = np.random.default_rng(7)
+    warm = _engine(
+        params, model_cfg, "paged", prefix_cache=True, max_len=256,
+        prefill_buckets=(32, 64, 128, 256), kv_pool_blocks=128,
+    )
+    # build two transcripts with different lengths (different page counts)
+    base_a = rng.integers(1, 240, 30).tolist()
+    base_b = rng.integers(1, 240, 52).tolist()
+    ra = _drain(warm, [warm.submit(_greedy(base_a, max_tokens=6))])[0]
+    rb = _drain(warm, [warm.submit(_greedy(base_b, max_tokens=6))])[0]
+    prompt_a = base_a + ra.token_ids + rng.integers(1, 240, 5).tolist()
+    prompt_b = base_b + rb.token_ids + rng.integers(1, 240, 9).tolist()
+    # submit BOTH extensions before stepping: one admission wave
+    futs = [warm.submit(_greedy(prompt_a, max_tokens=8)),
+            warm.submit(_greedy(prompt_b, max_tokens=8))]
+    got = _drain(warm, futs)
+    c = warm.perf_counters()
+    assert c["prefix_cache_hits"] >= 2, c
+    warm.stop()
+
+    cold = _engine(
+        params, model_cfg, "paged", prefix_cache=False, max_len=256,
+        prefill_buckets=(32, 64, 128, 256), kv_pool_blocks=128,
+    )
+    want = _drain(cold, [cold.submit(_greedy(p, max_tokens=8))
+                         for p in (prompt_a, prompt_b)])
+    cold.stop()
+    for g, w in zip(got, want):
+        assert g.token_ids == w.token_ids, (g.token_ids, w.token_ids)
+        np.testing.assert_allclose(g.logprobs, w.logprobs, rtol=1e-4, atol=1e-5)

@@ -78,3 +78,79 @@ def test_masked_logprob_unaffected_by_truncation():
     )
     full = jax.nn.log_softmax(logits, axis=-1)
     assert float(lps[0]) == pytest.approx(float(full[0, int(tokens[0])]), rel=1e-5)
+
+
+def test_valid_vocab_excludes_padding_rows():
+    """Padded-checkpoint guard (reference preprocess.py:107): ids beyond the
+    tokenizer's entries are excluded from the candidate set even when their
+    (untrained) logits dominate, for both sampler paths and greedy."""
+    # padding row 3 has the largest logit
+    logits = jnp.asarray([[0.0, 1.0, 0.5, 9.9]], jnp.float32)
+    keys = jax.random.split(jax.random.key(3), 200)
+    toks = jax.vmap(
+        lambda k: sample_fast(logits, k, jnp.ones(1), valid_vocab=3)[0][0]
+    )(keys)
+    assert int(np.asarray(toks).max()) < 3
+    # greedy picks the best VALID token
+    t, _ = sample_fast(logits, jax.random.key(0), jnp.zeros(1), valid_vocab=3)
+    assert int(t[0]) == 1
+    t, _ = sample_masked(
+        logits, jax.random.key(0), jnp.zeros(1), jnp.ones(1),
+        jnp.zeros(1, jnp.int32), valid_vocab=3,
+    )
+    assert int(t[0]) == 1
+    toks = jax.vmap(
+        lambda k: sample_masked(
+            logits, k, jnp.ones(1), jnp.ones(1), jnp.zeros(1, jnp.int32),
+            valid_vocab=3,
+        )[0][0]
+    )(keys)
+    assert int(np.asarray(toks).max()) < 3
+
+
+def test_valid_vocab_engine_never_emits_padding_id():
+    """Engine-level: a model whose lm_head favors padding rows must never
+    emit an id >= valid_vocab into a rollout, and reported logprobs must
+    still match teacher-forced score_tokens (trainer parity through the
+    shared lm_head_logits mask)."""
+    from dataclasses import replace
+
+    from pipelinerl_tpu.inference import (
+        EngineConfig, GenRequest, InferenceEngine, SamplingParams,
+    )
+    from pipelinerl_tpu.models.transformer import ModelConfig, init_params
+
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_layers=2, num_heads=2, num_kv_heads=2, dtype=jnp.float32,
+        valid_vocab=48,
+    )
+    params = init_params(jax.random.key(0), cfg)
+    # rig every padding row to dominate
+    params["lm_head"] = params["lm_head"].at[:, 48:].add(5.0)
+    engine = InferenceEngine(
+        params, cfg,
+        EngineConfig(max_slots=2, max_len=64, prefill_buckets=(16,),
+                     cache_dtype=jnp.float32),
+        eos_token_id=0,
+    )
+    temps = (0.0, 1.0)
+    futs = [
+        engine.submit(GenRequest([5, 7, 9], SamplingParams(temperature=t, max_tokens=24)))
+        for t in temps
+    ]
+    import time as _time
+    deadline = _time.monotonic() + 120
+    while not all(f.done() for f in futs) and _time.monotonic() < deadline:
+        engine.step()
+    for temp, f in zip(temps, futs):
+        res = f.result()
+        assert res.token_ids, "no tokens generated"
+        assert max(res.token_ids) < 48, res.token_ids
+        if temp != 1.0:
+            continue  # greedy reports the unscaled distribution by contract
+        scored = engine.score_tokens([5, 7, 9] + res.token_ids)
+        gen_lps = res.logprobs
+        want = scored[2 : 2 + len(gen_lps)]
+        np.testing.assert_allclose(gen_lps, want, rtol=1e-4, atol=1e-5)
+    engine.stop()
