@@ -101,9 +101,23 @@ class EngineConfig:
     rng_impl: str = "rbg"
     # host-side weight pushes up to this size are double-buffered on device
     # (atomic pointer swap); larger pushes (7B bf16 ~15 GB on a 16 GB v5e
-    # cannot hold two copies) stream leaf-by-leaf with one-leaf HBM overhead
-    # (see _transfer_loop)
+    # cannot hold two copies) stream in bounded chunks spliced into the live
+    # tree (see _transfer_loop)
     push_double_buffer_max_bytes: int = 6 << 30
+    # chunk size for pushes beyond the double-buffer budget: each chunk is
+    # one H2D transfer + one on-device carve; peak extra HBM ~= 2 chunks
+    push_stream_chunk_bytes: int = 256 << 20
+    # paced-transfer granularity and decode-utilization floor during a push.
+    # On hardware where H2D transfers serialize with the execution stream
+    # (the tunneled dev chip: 1.1 GB/s idle vs 28 MB/s under continuous
+    # decode — round-4 probes), each chunk transfers in a brief engine-
+    # granted gap (queue drained so the put runs at full link speed), and
+    # the transfer thread then sleeps so decode keeps >= the target duty.
+    # Per-update decode loss equals the serial transfer time either way;
+    # pacing amortizes it instead of letting the push starve for ~40x
+    # longer. Target <= 0 disables pacing (direct puts).
+    push_pace_chunk_bytes: int = 64 << 20
+    push_utilization_target: float = 0.9
     # KV layout: "slab" reserves a contiguous [S, max_len] cache per slot;
     # "paged" allocates fixed-size pages from a shared pool (the vLLM paged
     # attention role, SURVEY.md §2.4) — HBM holds only tokens that exist,
@@ -229,10 +243,18 @@ class InferenceEngine:
         self._params_lock = threading.Lock()
         # host-side (numpy-leaf) pushes are staged onto the device by a
         # dedicated transfer thread; the engine thread only pointer-swaps
-        self._transfer_pending: tuple[dict, int, dict | None] | None = None
+        self._transfer_pending: tuple | None = None  # ("tree"|"blob", ...)
         self._transfer_event = threading.Event()
         self._transfer_thread: threading.Thread | None = None
+        self._slicer_cache: dict = {}
         self.last_push_timings: dict = {}
+        # cooperative transfer gate (see EngineConfig.push_pace_chunk_bytes):
+        # the transfer thread requests a slot; the scheduling thread drains
+        # its in-flight windows, opens the gate, and blocks until the chunk
+        # lands — so the H2D put runs against an empty execution queue
+        self._transfer_gate_request = threading.Event()
+        self._transfer_gate_open = threading.Event()
+        self._transfer_chunk_done = threading.Event()
 
         S, T = cfg.max_slots, cfg.max_len
         L = model_cfg.num_layers
@@ -453,14 +475,7 @@ class InferenceEngine:
             isinstance(leaf, np.ndarray) for leaf in jax.tree.leaves(params)
         )
         if is_host_tree:
-            with self._params_lock:
-                self._transfer_pending = (params, version, vision_tower)
-            if self._transfer_thread is None or not self._transfer_thread.is_alive():
-                self._transfer_thread = threading.Thread(
-                    target=self._transfer_loop, daemon=True, name="weight-transfer"
-                )
-                self._transfer_thread.start()
-            self._transfer_event.set()
+            self._enqueue_transfer(("tree", params, version, vision_tower))
             return
         if self.mesh is not None:
             from ..parallel import shard_params
@@ -471,6 +486,77 @@ class InferenceEngine:
             if vision_tower is not None:
                 self._pending_vision = vision_tower
         self._work_event.set()
+
+    def update_params_serialized(self, body: bytes) -> int:
+        """Swap weights from a PWT3 wire body (weight_transfer.py) — the hot
+        cross-process push path. Each dtype group's typed run ships in paced
+        transfers and is carved into leaves on-device (per-leaf device_put
+        calls measurably collapse ~25x behind in-flight decode windows —
+        round-4 probes). Raises ValueError on a tree that does not match the
+        engine's parameter spec (a silently swapped wrong-shaped tree would
+        crash or corrupt every subsequent forward). Returns the version."""
+        from .weight_transfer import parse_push_header
+
+        groups, tensors, version, base = parse_push_header(body)
+        self._validate_push_spec(tensors)
+        if self.mesh is not None:
+            # tp/pp engines reshard through the tree path (shard_params)
+            from .weight_transfer import deserialize_params
+
+            params, version = deserialize_params(body)
+            params.pop("value_head", None)
+            self.update_params(params, version)
+            return version
+        self._enqueue_transfer(("blob", body, groups, tensors, base, version))
+        return version
+
+    def _validate_push_spec(self, tensors: list[dict]) -> None:
+        """A pushed tree must match the engine's parameter spec exactly
+        (names, shapes, dtypes) — value_head is trainer-only and dropped;
+        vision_tower/* must match the engine's vision params when present."""
+        from .weight_transfer import flatten_params
+
+        expected = {
+            name: (np.asarray(leaf).dtype.name if isinstance(leaf, np.ndarray)
+                   else leaf.dtype.name, tuple(leaf.shape))
+            for name, leaf in flatten_params(self.params)
+        }
+        if self.vision_params is not None:
+            expected.update(
+                {
+                    f"vision_tower/{name}": (leaf.dtype.name, tuple(leaf.shape))
+                    for name, leaf in flatten_params(self.vision_params)
+                }
+            )
+        got = {
+            t["name"]: (t["dtype"], tuple(int(s) for s in t["shape"]))
+            for t in tensors
+            if t["name"] != "value_head" and not t["name"].startswith("value_head/")
+            and not (t["name"].startswith("vision_tower/")
+                     and self.vision_params is None)
+        }
+        if set(got) != set(expected):
+            missing = sorted(set(expected) - set(got))[:5]
+            extra = sorted(set(got) - set(expected))[:5]
+            raise ValueError(
+                f"weight push tree mismatch: missing={missing} extra={extra}"
+            )
+        for name, spec in got.items():
+            if spec != expected[name]:
+                raise ValueError(
+                    f"weight push tensor mismatch for {name!r}: "
+                    f"pushed {spec}, engine has {expected[name]}"
+                )
+
+    def _enqueue_transfer(self, job: tuple) -> None:
+        with self._params_lock:
+            self._transfer_pending = job
+        if self._transfer_thread is None or not self._transfer_thread.is_alive():
+            self._transfer_thread = threading.Thread(
+                target=self._transfer_loop, daemon=True, name="weight-transfer"
+            )
+            self._transfer_thread.start()
+        self._transfer_event.set()
 
     def _transfer_loop(self) -> None:
         """Stage host-side weight pushes device-ward off the engine thread.
@@ -498,50 +584,283 @@ class InferenceEngine:
                 self._transfer_pending = None
             if job is None:
                 continue
-            params, version, vision_tower = job
-            nbytes = sum(leaf.nbytes for leaf in jax.tree.leaves(params))
-            t0 = time.monotonic()
-            if self.mesh is None and nbytes > self.cfg.push_double_buffer_max_bytes:
-                try:
-                    superseded = self._stream_leaves_inplace(params, version)
-                except Exception:  # noqa: BLE001 — a bad push must not kill the thread
-                    logger.exception("leaf-streamed weight push failed; dropped")
-                    continue
-                if superseded:
-                    continue
-                transfer_s = time.monotonic() - t0
-                with self._params_lock:
-                    if vision_tower is not None:
-                        self._pending_vision = jax.tree.map(
-                            jax.device_put, vision_tower
-                        )
-            else:
-                if self.mesh is not None:
-                    from ..parallel import shard_params
-
-                    device_tree = shard_params(params, self.mesh)
+            try:
+                if job[0] == "blob":
+                    self._transfer_blob(*job[1:])
                 else:
-                    device_tree = jax.tree.map(jax.device_put, params)
-                jax.block_until_ready(device_tree)
-                transfer_s = time.monotonic() - t0
-                with self._params_lock:
-                    if self._transfer_pending is not None:
-                        continue  # superseded mid-transfer; drop this tree
-                    self._pending_params = (device_tree, version)
-                    if vision_tower is not None:
-                        self._pending_vision = jax.tree.map(
-                            jax.device_put, vision_tower
-                        )
-            self.last_push_timings = {
-                "transfer_s": transfer_s,
-                "bytes": nbytes,
-                "gbps": nbytes / max(transfer_s, 1e-9) / 1e9,
-                "mode": "streamed" if (
-                    self.mesh is None
-                    and nbytes > self.cfg.push_double_buffer_max_bytes
-                ) else "double-buffer",
-            }
+                    self._transfer_tree(*job[1:])
+            except Exception:  # noqa: BLE001 — a bad push must not kill the thread
+                logger.exception("weight push failed; dropped")
+
+    def _transfer_tree(self, params: dict, version: int, vision_tower) -> None:
+        """Host-tree push (HF-checkpoint reload / tests): per-leaf staging."""
+        nbytes = sum(leaf.nbytes for leaf in jax.tree.leaves(params))
+        t0 = time.monotonic()
+        if self.mesh is None and nbytes > self.cfg.push_double_buffer_max_bytes:
+            if self._stream_leaves_inplace(params, version):
+                return
+            transfer_s = time.monotonic() - t0
+            mode = "streamed"
+            with self._params_lock:
+                if vision_tower is not None:
+                    self._pending_vision = jax.tree.map(jax.device_put, vision_tower)
+        else:
+            if self.mesh is not None:
+                from ..parallel import shard_params
+
+                device_tree = shard_params(params, self.mesh)
+            else:
+                device_tree = jax.tree.map(jax.device_put, params)
+            jax.block_until_ready(device_tree)
+            transfer_s = time.monotonic() - t0
+            mode = "double-buffer"
+            with self._params_lock:
+                if self._transfer_pending is not None:
+                    return  # superseded mid-transfer; drop this tree
+                self._pending_params = (device_tree, version)
+                if vision_tower is not None:
+                    self._pending_vision = jax.tree.map(jax.device_put, vision_tower)
+        self.last_push_timings = {
+            "transfer_s": transfer_s,
+            "bytes": nbytes,
+            "gbps": nbytes / max(transfer_s, 1e-9) / 1e9,
+            "mode": mode,
+        }
+        self._work_event.set()
+
+    def _slicer_for(self, entries: list[tuple]):
+        """Jitted group-run→leaves carver, cached per push layout: each
+        tensor is a static lax.slice of its dtype group's 1-D typed run +
+        reshape — one device pass (~ms), no per-leaf host round-trips and no
+        byte bitcasts (a [n, 2] u8 bitcast operand gets layout-padded 64x
+        on TPU)."""
+        key = tuple(entries)
+        fn = self._slicer_cache.get(key)
+        if fn is None:
+
+            def slicer(runs: dict):
+                out = []
+                for name, dtype_name, shape, elem_offset, count in entries:
+                    run = runs[dtype_name]
+                    arr = jax.lax.slice(run, (elem_offset,), (elem_offset + count,))
+                    out.append(arr.reshape(shape))
+                return out
+
+            fn = jax.jit(slicer)
+            self._slicer_cache[key] = fn
+        return fn
+
+    @staticmethod
+    def _entry_specs(tensors: list[dict]) -> list[tuple]:
+        specs = []
+        for t in tensors:
+            count = 1
+            for s in t["shape"]:
+                count *= int(s)
+            specs.append(
+                (t["name"], t["dtype"], tuple(t["shape"]), int(t["elem_offset"]), count)
+            )
+        return specs
+
+    def _has_device_work(self) -> bool:
+        return bool(self._windows) or any(s is not None for s in self._slots)
+
+    def _gated_put(self, host_view: np.ndarray) -> tuple[Any, float]:
+        """Stage one chunk through the cooperative gate: ask the scheduling
+        thread for a slot (it drains its window queue so the put runs at
+        full link speed), transfer, release, then sleep so decode keeps
+        >= push_utilization_target duty. Idle engines (or target <= 0) put
+        directly. Returns (device array, stall seconds)."""
+        target = float(self.cfg.push_utilization_target)
+        gated = target > 0 and self._has_device_work()
+        opened = False
+        if gated:
+            self._transfer_gate_request.set()
             self._work_event.set()
+            # an engine driven manually (tests) may step slowly; fall back
+            # to an ungated put rather than deadlocking
+            opened = self._transfer_gate_open.wait(timeout=5.0)
+        t0 = time.monotonic()
+        n = host_view.shape[0]
+        if host_view.nbytes > (64 << 20):
+            # parallel sub-streams: on link stacks that throttle per-stream
+            # (the aged dev tunnel: 0.17 GB/s serial vs ~2x with 4 streams,
+            # round-4 probe) splitting one put across threads is free wins;
+            # on healthy PCIe DMA it is harmless
+            k = 4
+            bounds = [(i * n // k, (i + 1) * n // k) for i in range(k)]
+            parts: list = [None] * k
+            def _put(idx, lo, hi):
+                parts[idx] = jax.device_put(host_view[lo:hi])
+                parts[idx].block_until_ready()
+            threads = [
+                threading.Thread(target=_put, args=(i, lo, hi))
+                for i, (lo, hi) in enumerate(bounds)
+            ]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            dev = jnp.concatenate(parts)
+            dev.block_until_ready()
+        else:
+            dev = jax.device_put(host_view)
+            dev.block_until_ready()
+        stall = time.monotonic() - t0
+        if gated:
+            self._transfer_gate_request.clear()
+            self._transfer_chunk_done.set()
+        if logger.isEnabledFor(logging.DEBUG):
+            logger.debug(
+                "push chunk: %d MB in %.3fs (%.2f GB/s) gated=%s opened=%s",
+                host_view.nbytes >> 20, stall,
+                host_view.nbytes / max(stall, 1e-9) / 1e9, gated, opened,
+            )
+        if opened and target < 1.0:
+            # decode runs during this sleep; duty = decode/(decode+stall).
+            # The cap bounds propagation delay when the link crawls — duty
+            # degrades before latency becomes unbounded.
+            time.sleep(min(stall * target / (1.0 - target), 30.0))
+        return dev, stall
+
+    def _paced_put_span(
+        self, body: bytes, dt: np.dtype, base_byte: int,
+        elem_lo: int, elem_hi: int,
+    ) -> tuple[Any, float]:
+        """Transfer elements [elem_lo, elem_hi) of a dtype run as a series
+        of paced sub-puts bounded by push_pace_chunk_bytes each (so no
+        single decode stall exceeds one sub-chunk even for a 1 GB embed
+        table), concatenated on-device into one 1-D run. Returns
+        (device run, total stall seconds)."""
+        sub_elems = max(1, int(self.cfg.push_pace_chunk_bytes) // dt.itemsize)
+        parts = []
+        stall_total = 0.0
+        lo = elem_lo
+        while lo < elem_hi:
+            hi = min(lo + sub_elems, elem_hi)
+            view = np.frombuffer(
+                body, dt, count=hi - lo, offset=base_byte + lo * dt.itemsize
+            )
+            dev, stall = self._gated_put(view)
+            parts.append(dev)
+            stall_total += stall
+            lo = hi
+        if len(parts) == 1:
+            return parts[0], stall_total
+        run = jnp.concatenate(parts)
+        return run, stall_total
+
+    def _transfer_blob(
+        self, body: bytes, groups: list[dict], tensors: list[dict],
+        base: int, version: int,
+    ) -> None:
+        """PWT3 push: ship each dtype group's typed run in paced sub-puts
+        (see _gated_put / _paced_put_span), carve tensors on-device, and
+        either publish one atomic double-buffered tree (pushes within the
+        HBM budget) or splice leaves progressively per chunk (mixed-version
+        transients are RL-correct -- see _transfer_tree)."""
+        from .weight_transfer import _dtype_from_name, flatten_params, unflatten_params
+
+        keep = [t for t in tensors
+                if not t["name"].startswith("value_head/")
+                and t["name"] != "value_head"]
+        specs = self._entry_specs(keep)
+        itemsize = {g["dtype"]: _dtype_from_name(g["dtype"]).itemsize for g in groups}
+        total = sum(count * itemsize[dt] for _, dt, _, _, count in specs)
+        atomic = total <= self.cfg.push_double_buffer_max_bytes
+        t0 = time.monotonic()
+        stall_total = 0.0
+        staged_flat: dict = {}
+        vision_flat: dict = {}
+        for g in groups:
+            dt = _dtype_from_name(g["dtype"])
+            g_specs = [s for s in specs if s[1] == g["dtype"]]
+            if not g_specs:
+                continue
+            if atomic:
+                # whole group as one on-device run (paced sub-puts inside)
+                chunks = [g_specs]
+            else:
+                # splice-capable tensor-aligned chunks bounded by the
+                # stream budget (peak extra HBM ~= 2 chunks)
+                budget_elems = max(
+                    int(self.cfg.push_stream_chunk_bytes) // dt.itemsize,
+                    max(s[4] for s in g_specs),
+                )
+                chunks = [[]]
+                acc = 0
+                for s in g_specs:
+                    if chunks[-1] and acc + s[4] > budget_elems:
+                        chunks.append([])
+                        acc = 0
+                    chunks[-1].append(s)
+                    acc += s[4]
+            for chunk in chunks:
+                lo = min(s[3] for s in chunk)
+                hi = max(s[3] + s[4] for s in chunk)
+                run, stall = self._paced_put_span(
+                    body, dt, base + int(g["byte_offset"]), lo, hi
+                )
+                stall_total += stall
+                rebased = [
+                    (name, dtn, shape, off - lo, count)
+                    for name, dtn, shape, off, count in chunk
+                ]
+                leaves = self._slicer_for(rebased)({g["dtype"]: run})
+                del run
+                staged = {name: leaf for (name, *_), leaf in zip(chunk, leaves)}
+                vision_flat.update(
+                    {k: v for k, v in staged.items()
+                     if k.startswith("vision_tower/")}
+                )
+                staged = {k: v for k, v in staged.items()
+                          if not k.startswith("vision_tower/")}
+                if atomic:
+                    staged_flat.update(staged)
+                    with self._params_lock:
+                        if self._transfer_pending is not None:
+                            return  # newer push wins
+                else:
+                    with self._params_lock:
+                        if (self._transfer_pending is not None
+                                or self._pending_params is not None):
+                            return
+                        if staged:
+                            live = dict(flatten_params(self.params))
+                            live.update(staged)
+                            self.params = unflatten_params(live)
+        vision = (
+            unflatten_params(
+                {k.removeprefix("vision_tower/"): v for k, v in vision_flat.items()}
+            )
+            if vision_flat
+            else None
+        )
+        if atomic:
+            tree = unflatten_params(staged_flat)
+            jax.block_until_ready(tree)
+            with self._params_lock:
+                if self._transfer_pending is not None:
+                    return
+                self._pending_params = (tree, version)
+                if vision is not None:
+                    self._pending_vision = vision
+        else:
+            with self._params_lock:
+                if (self._transfer_pending is not None
+                        or self._pending_params is not None):
+                    return
+                self.version = version
+                if vision is not None:
+                    self._pending_vision = vision
+        self.last_push_timings = {
+            "transfer_s": time.monotonic() - t0,
+            "stall_s": stall_total,
+            "bytes": total,
+            "gbps": total / max(stall_total, 1e-9) / 1e9,
+            "mode": "blob" if atomic else "blob-chunked",
+        }
+        self._work_event.set()
 
     def _stream_leaves_inplace(self, params: dict, version: int) -> bool:
         """Leaf-streamed push: stage one leaf at a time and splice it into a
@@ -652,14 +971,29 @@ class InferenceEngine:
                 self._work_event.clear()
 
     def step(self) -> bool:
-        """One scheduling iteration: apply weight swap, abort, retire,
-        admit, decode."""
+        """One scheduling iteration: apply weight swap, serve a paced
+        transfer chunk if one is waiting, abort, retire, admit, decode."""
         self._maybe_swap_params()
+        self._serve_transfer_gate()
         aborted = self._process_aborts()
         self._retire_exhausted()
         admitted = self._admit()
         decoded = self._decode()
         return aborted or admitted or decoded
+
+    def _serve_transfer_gate(self) -> None:
+        """Grant the transfer thread one chunk slot: drain in-flight windows
+        (useful decode — the device finishes them while we sync) so the H2D
+        put is not starved by a continuously-refilled execution queue, then
+        block until the chunk lands (~chunk_bytes / link bandwidth)."""
+        if not self._transfer_gate_request.is_set():
+            return
+        while self._windows:
+            self._process_window(self._windows.popleft())
+        self._transfer_chunk_done.clear()
+        self._transfer_gate_open.set()
+        self._transfer_chunk_done.wait(timeout=60)
+        self._transfer_gate_open.clear()
 
     def _retire_exhausted(self) -> None:
         """Free slots whose remaining token budget is already covered by

@@ -313,15 +313,13 @@ class InferenceServer:
         loop = asyncio.get_event_loop()
         if request.content_type == "application/x-msgpack":
             body = await request.read()
-            from .weight_transfer import deserialize_params
-
-            # PWT2 deserialize is a handful of np.frombuffer views — cheap
-            params, version = deserialize_params(body)
-            params.pop("value_head", None)  # trainer-only
-            # hand the HOST arrays to the engine's transfer thread: it
-            # stages them onto the device while decode continues, then the
-            # engine thread pointer-swaps between windows
-            self.engine.update_params(params, version)
+            # hand the raw wire body to the engine's transfer thread: it
+            # ships each dtype run in paced transfers, carves leaves
+            # on-device, and the engine thread pointer-swaps between windows
+            try:
+                version = self.engine.update_params_serialized(body)
+            except ValueError as exc:  # tree/spec mismatch: reject loudly
+                return web.json_response({"error": str(exc)}, status=400)
             # reply only once the swap is live so HTTP 200 == "engine now
             # serves version" (the reference's pause-scoped broadcast gives
             # the same guarantee, vllm1.py:155-182); decode is NOT paused

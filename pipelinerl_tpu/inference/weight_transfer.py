@@ -16,12 +16,20 @@ vllm1.py:155-182). The TPU-native design has three tiers:
   sharding (one ICI/DCN all-gather materialized by GSPMD via device_put),
   then ships its addressable copy as above.
 
-Wire format (``PWT2``): a tiny msgpack header (names/dtypes/shapes/offsets)
-followed by the raw concatenated tensor bytes. Deserialization is a handful
-of ``np.frombuffer`` views into the body — microseconds of GIL — unlike the
-round-3 format which msgpack-unpacked the full multi-GB body in one C call
-with the GIL held, starving the engine thread (BENCH_r03 measured decode
-utilization 0.008 during a push; the BASELINE north star is >= 0.9).
+Wire format (``PWT3``): a tiny msgpack header followed by the raw tensor
+bytes, GROUPED BY DTYPE. Two properties matter:
+
+- deserialization is a handful of ``np.frombuffer`` views into the body —
+  microseconds of GIL — unlike the round-3 format which msgpack-unpacked
+  the full multi-GB body in one C call with the GIL held, starving the
+  engine thread (BENCH_r03 measured decode utilization 0.008 during a
+  push);
+- each dtype group is one contiguous typed run, so the engine can ship it
+  to the device as ONE 1-D typed transfer and carve tensors with on-device
+  slices+reshapes. Per-leaf device_put calls collapse ~25x behind in-flight
+  decode windows (round-4 probe: 219 leaves = 32 s vs 1.1 s for the same
+  bytes in one put), and byte-pair bitcasts are unusable on TPU (a
+  [n, 2] u8 operand gets layout-padded 64x).
 """
 
 from __future__ import annotations
@@ -38,7 +46,7 @@ import numpy as np
 
 logger = logging.getLogger(__name__)
 
-_MAGIC = b"PWT2"
+_MAGIC = b"PWT3"
 
 
 def _dtype_from_name(name: str) -> np.dtype:
@@ -79,42 +87,64 @@ def _byte_view(host: np.ndarray) -> memoryview:
 
 
 def serialize_params(params: dict, version: int) -> bytes:
-    """→ ``PWT2 | u64 header_len | msgpack header | raw tensor blob``."""
-    entries = []
-    chunks: list = []
-    offset = 0
+    """→ ``PWT3 | u64 header_len | msgpack header | dtype-grouped blob``.
+
+    Header: ``{"version", "groups": [{"dtype", "byte_offset", "count"}],
+    "tensors": [{"name", "dtype", "shape", "elem_offset"}]}`` — tensor
+    elem_offsets index into their dtype group's typed run."""
+    by_dtype: dict[str, list[tuple[str, np.ndarray]]] = {}
     for path, arr in flatten_params(params):
         host = np.asarray(jax.device_get(arr))
-        view = _byte_view(host)
-        entries.append(
-            {
-                "name": path,
-                "dtype": host.dtype.name,
-                "shape": list(host.shape),
-                "offset": offset,
-                "nbytes": view.nbytes,
-            }
+        by_dtype.setdefault(host.dtype.name, []).append((path, host))
+    groups = []
+    tensors = []
+    chunks: list = []
+    byte_offset = 0
+    for dtype_name in sorted(by_dtype):
+        items = by_dtype[dtype_name]
+        elem_offset = 0
+        for path, host in items:
+            tensors.append(
+                {
+                    "name": path,
+                    "dtype": dtype_name,
+                    "shape": list(host.shape),
+                    "elem_offset": elem_offset,
+                }
+            )
+            chunks.append(_byte_view(host))
+            elem_offset += host.size
+        groups.append(
+            {"dtype": dtype_name, "byte_offset": byte_offset, "count": elem_offset}
         )
-        chunks.append(view)
-        offset += view.nbytes
-    header = msgpack.packb({"version": int(version), "tensors": entries})
+        byte_offset += elem_offset * np.dtype(_dtype_from_name(dtype_name)).itemsize
+    header = msgpack.packb(
+        {"version": int(version), "groups": groups, "tensors": tensors}
+    )
     return b"".join([_MAGIC, struct.pack("<Q", len(header)), header, *chunks])
+
+
+def parse_push_header(body: bytes) -> tuple[list[dict], list[dict], int, int]:
+    """→ (dtype groups, tensor entries, version, blob base offset)."""
+    if body[:4] != _MAGIC:
+        raise ValueError("not a PWT3 weight-push body")
+    (header_len,) = struct.unpack_from("<Q", body, 4)
+    header = msgpack.unpackb(body[12 : 12 + header_len], raw=False)
+    return header["groups"], header["tensors"], int(header["version"]), 12 + header_len
 
 
 def deserialize_params(body: bytes) -> tuple[dict, int]:
     """Zero-copy: each tensor is an ``np.frombuffer`` view into ``body``."""
-    if body[:4] != _MAGIC:
-        raise ValueError("not a PWT2 weight-push body")
-    (header_len,) = struct.unpack_from("<Q", body, 4)
-    header = msgpack.unpackb(body[12 : 12 + header_len], raw=False)
-    base = 12 + header_len
+    groups, tensors, version, base = parse_push_header(body)
+    group_off = {g["dtype"]: g["byte_offset"] for g in groups}
     flat = {}
-    for t in header["tensors"]:
+    for t in tensors:
         dt = _dtype_from_name(t["dtype"])
-        count = t["nbytes"] // dt.itemsize
-        arr = np.frombuffer(body, dtype=dt, count=count, offset=base + t["offset"])
+        count = int(np.prod(t["shape"], dtype=np.int64)) if t["shape"] else 1
+        off = base + group_off[t["dtype"]] + t["elem_offset"] * dt.itemsize
+        arr = np.frombuffer(body, dtype=dt, count=count, offset=off)
         flat[t["name"]] = arr.reshape(t["shape"])
-    return unflatten_params(flat), int(header["version"])
+    return unflatten_params(flat), int(version)
 
 
 def gather_for_push(params: dict, mesh) -> dict:

@@ -185,3 +185,102 @@ def test_parallel_push_to_two_engines(tiny_params):
         engine.stop()
     for loop in loops:
         loop.call_soon_threadsafe(loop.stop)
+
+
+@pytest.mark.parametrize("double_buffer_max", [1 << 30, 0])
+def test_serialized_blob_push_roundtrip(tiny_params, double_buffer_max):
+    """update_params_serialized ships the PWT2 blob in one (or a few
+    chunked) H2D transfers and carves leaves ON-DEVICE — per-leaf device_put
+    collapses ~25x behind in-flight decode windows on the tunneled chip
+    (round-4 probe). Values must round-trip exactly in both modes."""
+    import time
+
+    from pipelinerl_tpu.inference import EngineConfig, InferenceEngine
+
+    params, cfg = tiny_params
+    engine = InferenceEngine(
+        params, cfg,
+        EngineConfig(max_slots=2, max_len=32, prefill_buckets=(16,),
+                     cache_dtype=jnp.float32,
+                     push_double_buffer_max_bytes=double_buffer_max,
+                     push_stream_chunk_bytes=4096),
+        eos_token_id=0,
+    )
+    new_params = jax.tree.map(lambda x: x * 2.0 + 1.0, params)
+    body = serialize_params(
+        {**new_params, "value_head": {"w": jnp.ones((4,))}}, version=11
+    )
+    got_version = engine.update_params_serialized(body)
+    assert got_version == 11
+    deadline = time.monotonic() + 60
+    while engine.version != 11 and time.monotonic() < deadline:
+        engine.step()
+        time.sleep(0.005)
+    assert engine.version == 11
+    mode = engine.last_push_timings["mode"]
+    assert mode == ("blob" if double_buffer_max else "blob-chunked")
+    got = dict(flatten_params(engine.params))
+    want = dict(flatten_params(new_params))
+    assert set(got) == set(want)  # value_head dropped
+    for k in want:
+        np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(want[k]))
+    engine.stop()
+
+
+def test_serialized_blob_push_bf16_exact():
+    """bf16 leaves must survive the on-device byte carve bit-exactly."""
+    import time
+
+    from pipelinerl_tpu.inference import EngineConfig, InferenceEngine
+    from pipelinerl_tpu.models.transformer import ModelConfig, init_params
+
+    cfg = ModelConfig(
+        vocab_size=32, hidden_size=32, intermediate_size=64,
+        num_layers=2, num_heads=2, num_kv_heads=2, dtype=jnp.bfloat16,
+    )
+    params = init_params(jax.random.key(1), cfg)
+    engine = InferenceEngine(
+        params, cfg,
+        EngineConfig(max_slots=2, max_len=32, prefill_buckets=(16,),
+                     cache_dtype=jnp.bfloat16),
+        eos_token_id=0,
+    )
+    new_params = jax.tree.map(lambda x: (x * 1.5).astype(x.dtype), params)
+    engine.update_params_serialized(serialize_params(new_params, version=2))
+    deadline = time.monotonic() + 60
+    while engine.version != 2 and time.monotonic() < deadline:
+        engine.step()
+        time.sleep(0.005)
+    assert engine.version == 2
+    got = dict(flatten_params(engine.params))
+    for k, w in flatten_params(new_params):
+        assert got[k].dtype == w.dtype
+        np.testing.assert_array_equal(
+            np.asarray(got[k]).view(np.uint16), np.asarray(w).view(np.uint16)
+        )
+    engine.stop()
+
+
+def test_mismatched_push_rejected(tiny_params):
+    """A pushed tree whose shapes/names don't match the engine's spec must
+    be rejected loudly (a silently swapped wrong tree crashes every
+    subsequent forward — round-4 regression found via a live-server drive)."""
+    from pipelinerl_tpu.inference import EngineConfig, InferenceEngine
+    from pipelinerl_tpu.models.transformer import ModelConfig, init_params
+
+    params, cfg = tiny_params
+    engine = InferenceEngine(
+        params, cfg,
+        EngineConfig(max_slots=2, max_len=32, prefill_buckets=(16,),
+                     cache_dtype=jnp.float32),
+        eos_token_id=0,
+    )
+    other_cfg = ModelConfig(
+        vocab_size=64, hidden_size=16, intermediate_size=32,
+        num_layers=1, num_heads=2, num_kv_heads=2, dtype=jnp.float32,
+    )
+    bad = init_params(jax.random.key(9), other_cfg)
+    with pytest.raises(ValueError, match="mismatch"):
+        engine.update_params_serialized(serialize_params(bad, version=5))
+    assert engine.version == 0
+    engine.stop()
