@@ -600,7 +600,8 @@ def bench_multiturn(params, model_cfg) -> dict:
 
 
 def bench_train_step(
-    params, model_cfg, n_params, seqlen, attn_impl, label, logits_chunk=None
+    params, model_cfg, n_params, seqlen, attn_impl, label, logits_chunk=None,
+    remat=True,
 ) -> tuple[float, float]:
     """Packed-sequence RL grad+optimizer step throughput (tokens/s/chip)."""
     import jax
@@ -637,7 +638,7 @@ def bench_train_step(
         def loss_fn(pp):
             return rl_loss(
                 pp, model_cfg, loss_cfg, b, jnp.zeros(()), 100, jnp.zeros(()),
-                remat=True, attn_impl=attn_impl, logits_chunk=logits_chunk,
+                remat=remat, attn_impl=attn_impl, logits_chunk=logits_chunk,
             )
 
         (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(p)

@@ -260,7 +260,7 @@ def forward(
     position_ids: jnp.ndarray,  # [B, L], or [3, B, L] for mrope (VLM)
     segment_ids: jnp.ndarray,  # [B, L]
     return_kv: bool = False,
-    remat: bool = False,
+    remat: bool | str = False,  # True=full per-layer; "mlp"=selective (MLP only)
     return_hidden: bool = False,
     attn_impl: str = "xla",  # "xla" | "flash" (Pallas splash kernel)
     image_embeds: jnp.ndarray | None = None,  # [B, M, D] visual tokens
@@ -301,10 +301,23 @@ def forward(
         attn = _attn(q, k, v, segment_ids, position_ids)
         attn_flat = attn.reshape(*h.shape[:-1], cfg.q_dim)
         h = h + attn_flat @ layer["wo"]
-        h = h + _mlp(layer, rms_norm(h, layer["ln2"], cfg.rms_norm_eps))
+        if remat == "mlp":
+            # selective remat: recompute only the MLP (the dominant
+            # activation memory: [L, intermediate] silu/gate products) and
+            # keep the attention sublayer's residuals — re-running the
+            # blockwise attention forward in the backward pass costs
+            # ~20 ms/layer at L=16k (70% of the step was attention;
+            # scripts/probe_16k.py), while its residuals are only
+            # ~100 MB/layer at 16k
+            mlp_fn = jax.checkpoint(
+                lambda hh, ly: _mlp(ly, rms_norm(hh, ly["ln2"], cfg.rms_norm_eps))
+            )
+            h = h + mlp_fn(h, layer)
+        else:
+            h = h + _mlp(layer, rms_norm(h, layer["ln2"], cfg.rms_norm_eps))
         return h, (k, v) if return_kv else None
 
-    if remat:
+    if remat is True:
         layer_fn = jax.checkpoint(layer_fn)
     x, kv = jax.lax.scan(layer_fn, x, params["layers"])
     hidden = x

@@ -102,6 +102,32 @@ def _split_kv(x, n_kv, M):
     return x.reshape(B, n_kv, M, *x.shape[2:]).swapaxes(0, 1)
 
 
+_N_BANDS = 8
+
+
+def _bands(n_q: int, Bq: int, n_kv: int, M: int, q_offset: int):
+    """Split the q blocks into up to _N_BANDS contiguous bands; each band's
+    kv iteration covers only the prefix its LAST q block can causally see.
+    Causality makes ~half of all (q block, kv block) pairs fully masked at
+    long L; banding skips most of them (576/1024 pairs at 16k with 8 bands
+    vs 528 ideal) while keeping the original two-level scan structure — a
+    flat scan over exact triangular pairs measured barely faster because
+    per-step dynamic gathers lose the q-block-invariant load hoisting, and
+    a per-pair ``lax.cond`` (skip_blocks) breaks scan pipelining entirely."""
+    # ~4 q blocks per band: fragmenting short-L scans into many tiny bands
+    # measured a 30% REGRESSION at 4k (343 vs 261 ms step) for no FLOP win
+    n_bands = max(1, min(_N_BANDS, n_q // 4))
+    bounds = [round(i * n_q / n_bands) for i in range(n_bands + 1)]
+    out = []
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        if lo == hi:
+            continue
+        last_q_idx = q_offset + hi * Bq - 1
+        kv_len = min(n_kv, max(1, last_q_idx // M + 1))
+        out.append((lo, hi, kv_len))
+    return out
+
+
 def _fwd(q, k, v, q_segment_ids, kv_segment_ids, q_offset, scale, block_kv, block_q, skip_blocks):
     B, Lq, H, Dh = q.shape
     Lkv, K = k.shape[1], k.shape[2]
@@ -123,49 +149,69 @@ def _fwd(q, k, v, q_segment_ids, kv_segment_ids, q_offset, scale, block_kv, bloc
     kseg_b = _split_kv(kv_segment_ids, n_kv, M)  # [n_kv, B, M]
     kidx_b = jnp.arange(Lkv).reshape(n_kv, M)
 
+    static_offset = isinstance(q_offset, int) and not isinstance(q_offset, bool)
+    bands = (
+        _bands(n_q, Bq, n_kv, M, int(q_offset)) if static_offset
+        else [(0, n_q, n_kv)]
+    )
+
     # carries seeded from q so they carry q's varying-axes type under
     # shard_map (scan requires carry-in/carry-out VMA types to match)
     zero = (qh_b.reshape(-1)[0] * 0).astype(jnp.float32)
 
-    def q_block(_, xs):
-        qs, qseg, qidx_blk = xs  # [B, Bq, K, G, Dh], [B, Bq], [Bq]
-        q_max = qidx_blk[-1]
+    def make_q_block(ks):
+        k_s, v_s, kseg_s, kidx_s = ks
 
-        def body(carry, ys):
-            k_blk, v_blk, kseg_blk, kidx_blk = ys
+        def q_block(_, xs):
+            qs, qseg, qidx_blk = xs  # [B, Bq, K, G, Dh], [B, Bq], [Bq]
+            q_max = qidx_blk[-1]
 
-            def compute(c):
-                acc, m, l = c
-                s = _scores(qs, k_blk, scale)  # [B, K, G, Bq, M]
-                msk = _mask(qseg, kseg_blk, qidx_blk, kidx_blk)
-                s = jnp.where(msk[:, None, None], s, _NEG_INF)
-                m_new = jnp.maximum(m, s.max(axis=-1))
-                corr = jnp.exp(m - m_new)
-                p = jnp.where(msk[:, None, None], jnp.exp(s - m_new[..., None]), 0.0)
-                l_new = l * corr + p.sum(axis=-1)
-                pv = jnp.einsum(
-                    "bkglm,bmkd->bkgld",
-                    p.astype(v_blk.dtype),
-                    v_blk,
-                    preferred_element_type=jnp.float32,
-                )
-                return acc * corr[..., None] + pv, m_new, l_new
+            def body(carry, ys):
+                k_blk, v_blk, kseg_blk, kidx_blk = ys
 
-            if not skip_blocks:
-                return compute(carry), None
-            # entire KV block in the future of this q block -> fully masked
-            return jax.lax.cond(q_max >= kidx_blk[0], compute, lambda c: c, carry), None
+                def compute(c):
+                    acc, m, l = c
+                    s = _scores(qs, k_blk, scale)  # [B, K, G, Bq, M]
+                    msk = _mask(qseg, kseg_blk, qidx_blk, kidx_blk)
+                    s = jnp.where(msk[:, None, None], s, _NEG_INF)
+                    m_new = jnp.maximum(m, s.max(axis=-1))
+                    corr = jnp.exp(m - m_new)
+                    p = jnp.where(msk[:, None, None], jnp.exp(s - m_new[..., None]), 0.0)
+                    l_new = l * corr + p.sum(axis=-1)
+                    pv = jnp.einsum(
+                        "bkglm,bmkd->bkgld",
+                        p.astype(v_blk.dtype),
+                        v_blk,
+                        preferred_element_type=jnp.float32,
+                    )
+                    return acc * corr[..., None] + pv, m_new, l_new
 
-        acc0 = jnp.zeros((B, K, G, Bq, Dh), jnp.float32) + zero
-        m0 = jnp.full((B, K, G, Bq), _NEG_INF, jnp.float32) + zero
-        l0 = jnp.zeros((B, K, G, Bq), jnp.float32) + zero
-        (acc, m, l), _ = jax.lax.scan(body, (acc0, m0, l0), (k_b, v_b, kseg_b, kidx_b))
-        l_safe = jnp.maximum(l, 1e-30)
-        out_i = (acc / l_safe[..., None]).transpose(0, 3, 1, 2, 4)  # [B, Bq, K, G, Dh]
-        lse_i = m + jnp.log(l_safe)  # [B, K, G, Bq]
-        return None, (out_i.astype(q.dtype), lse_i)
+                if not skip_blocks:
+                    return compute(carry), None
+                # entire KV block in the future of this q block -> fully masked
+                return jax.lax.cond(q_max >= kidx_blk[0], compute, lambda c: c, carry), None
 
-    _, (out_b, lse_b) = jax.lax.scan(q_block, None, (qh_b, qseg_b, qidx_b))
+            acc0 = jnp.zeros((B, K, G, Bq, Dh), jnp.float32) + zero
+            m0 = jnp.full((B, K, G, Bq), _NEG_INF, jnp.float32) + zero
+            l0 = jnp.zeros((B, K, G, Bq), jnp.float32) + zero
+            (acc, m, l), _ = jax.lax.scan(body, (acc0, m0, l0), (k_s, v_s, kseg_s, kidx_s))
+            l_safe = jnp.maximum(l, 1e-30)
+            out_i = (acc / l_safe[..., None]).transpose(0, 3, 1, 2, 4)  # [B, Bq, K, G, Dh]
+            lse_i = m + jnp.log(l_safe)  # [B, K, G, Bq]
+            return None, (out_i.astype(q.dtype), lse_i)
+
+        return q_block
+
+    outs, lses = [], []
+    for lo, hi, kv_len in bands:
+        ks = (k_b[:kv_len], v_b[:kv_len], kseg_b[:kv_len], kidx_b[:kv_len])
+        _, (out_i, lse_i) = jax.lax.scan(
+            make_q_block(ks), None, (qh_b[lo:hi], qseg_b[lo:hi], qidx_b[lo:hi])
+        )
+        outs.append(out_i)
+        lses.append(lse_i)
+    out_b = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+    lse_b = lses[0] if len(lses) == 1 else jnp.concatenate(lses, axis=0)
     out = out_b.swapaxes(0, 1).reshape(B, Lq, H, Dh)
     lse = lse_b.transpose(1, 2, 3, 0, 4).reshape(B, K, G, Lq)
     return out, (q, k, v, q_segment_ids, kv_segment_ids, q_offset, out, lse)
@@ -197,67 +243,94 @@ def _bwd(scale, block_kv, block_q, skip_blocks, res, do):
     kseg_b = _split_kv(kv_segment_ids, n_kv, M)
     kidx_b = jnp.arange(Lkv).reshape(n_kv, M)
 
+    static_offset = isinstance(q_offset, int) and not isinstance(q_offset, bool)
+    bands = (
+        _bands(n_q, Bq, n_kv, M, int(q_offset)) if static_offset
+        else [(0, n_q, n_kv)]
+    )
+
     zero = (qh_b.reshape(-1)[0] * 0).astype(jnp.float32)
 
-    def q_block(carry, xs):
-        dk_acc, dv_acc = carry  # [n_kv, B, M, K, Dh] fp32 each
-        qs, doh, outh, lse_i, qseg, qidx_blk = xs
-        q_max = qidx_blk[-1]
-        # delta_i = sum_d do_i * out_i  [B, K, G, Bq]
-        delta = jnp.einsum(
-            "blkgd,blkgd->bkgl",
-            doh.astype(jnp.float32),
-            outh.astype(jnp.float32),
+    def make_q_block(ks, kv_len):
+        k_s, v_s, kseg_s, kidx_s = ks
+
+        def q_block(carry, xs):
+            dk_acc, dv_acc = carry  # [kv_len, B, M, K, Dh] fp32 each
+            qs, doh, outh, lse_i, qseg, qidx_blk = xs
+            q_max = qidx_blk[-1]
+            # delta_i = sum_d do_i * out_i  [B, K, G, Bq]
+            delta = jnp.einsum(
+                "blkgd,blkgd->bkgl",
+                doh.astype(jnp.float32),
+                outh.astype(jnp.float32),
+            )
+
+            def body(dq_acc, ys):
+                k_blk, v_blk, kseg_blk, kidx_blk = ys
+
+                def compute(dq_c):
+                    s = _scores(qs, k_blk, scale)
+                    msk = _mask(qseg, kseg_blk, qidx_blk, kidx_blk)
+                    s = jnp.where(msk[:, None, None], s, _NEG_INF)
+                    p = jnp.exp(s - lse_i[..., None])  # masked entries underflow to 0
+                    p_lo = p.astype(v_blk.dtype)
+                    # dv_j = sum_i p_ij do_i
+                    dv_blk = jnp.einsum(
+                        "bkglm,blkgd->bmkd", p_lo, doh, preferred_element_type=jnp.float32
+                    )
+                    dp = jnp.einsum(
+                        "blkgd,bmkd->bkglm", doh, v_blk, preferred_element_type=jnp.float32
+                    )
+                    ds = p * (dp - delta[..., None])  # [B, K, G, Bq, M] fp32
+                    ds_lo = ds.astype(k_blk.dtype)
+                    dq_blk = jnp.einsum(
+                        "bkglm,bmkd->blkgd", ds_lo, k_blk, preferred_element_type=jnp.float32
+                    )
+                    dk_blk = jnp.einsum(
+                        "bkglm,blkgd->bmkd", ds_lo, qs, preferred_element_type=jnp.float32
+                    )
+                    return dq_c + dq_blk, (dk_blk, dv_blk)
+
+                def skip(dq_c):
+                    return dq_c, (
+                        jnp.zeros((B, M, K, Dh), jnp.float32) + zero,
+                        jnp.zeros((B, M, K, Dh), jnp.float32) + zero,
+                    )
+
+                if not skip_blocks:
+                    return compute(dq_acc)
+                return jax.lax.cond(q_max >= kidx_blk[0], compute, skip, dq_acc)
+
+            dq0 = jnp.zeros((B, Bq, K, G, Dh), jnp.float32) + zero
+            dq_i, (dk_i, dv_i) = jax.lax.scan(body, dq0, (k_s, v_s, kseg_s, kidx_s))
+            return (dk_acc + dk_i, dv_acc + dv_i), dq_i
+
+        return q_block
+
+    dq_parts = []
+    dk_full = jnp.zeros((n_kv, B, M, K, Dh), jnp.float32) + zero
+    dv_full = jnp.zeros((n_kv, B, M, K, Dh), jnp.float32) + zero
+    for lo, hi, kv_len in bands:
+        ks = (k_b[:kv_len], v_b[:kv_len], kseg_b[:kv_len], kidx_b[:kv_len])
+        dk0 = jnp.zeros((kv_len, B, M, K, Dh), jnp.float32) + zero
+        dv0 = jnp.zeros((kv_len, B, M, K, Dh), jnp.float32) + zero
+        (dk_i, dv_i), dq_i = jax.lax.scan(
+            make_q_block(ks, kv_len),
+            (dk0, dv0),
+            (qh_b[lo:hi], doh_b[lo:hi], outh_b[lo:hi], lse_b[lo:hi],
+             qseg_b[lo:hi], qidx_b[lo:hi]),
         )
-
-        def body(dq_acc, ys):
-            k_blk, v_blk, kseg_blk, kidx_blk = ys
-
-            def compute(dq_c):
-                s = _scores(qs, k_blk, scale)
-                msk = _mask(qseg, kseg_blk, qidx_blk, kidx_blk)
-                s = jnp.where(msk[:, None, None], s, _NEG_INF)
-                p = jnp.exp(s - lse_i[..., None])  # masked entries underflow to 0
-                p_lo = p.astype(v_blk.dtype)
-                # dv_j = sum_i p_ij do_i
-                dv_blk = jnp.einsum(
-                    "bkglm,blkgd->bmkd", p_lo, doh, preferred_element_type=jnp.float32
-                )
-                dp = jnp.einsum(
-                    "blkgd,bmkd->bkglm", doh, v_blk, preferred_element_type=jnp.float32
-                )
-                ds = p * (dp - delta[..., None])  # [B, K, G, Bq, M] fp32
-                ds_lo = ds.astype(k_blk.dtype)
-                dq_blk = jnp.einsum(
-                    "bkglm,bmkd->blkgd", ds_lo, k_blk, preferred_element_type=jnp.float32
-                )
-                dk_blk = jnp.einsum(
-                    "bkglm,blkgd->bmkd", ds_lo, qs, preferred_element_type=jnp.float32
-                )
-                return dq_c + dq_blk, (dk_blk, dv_blk)
-
-            def skip(dq_c):
-                return dq_c, (
-                    jnp.zeros((B, M, K, Dh), jnp.float32) + zero,
-                    jnp.zeros((B, M, K, Dh), jnp.float32) + zero,
-                )
-
-            if not skip_blocks:
-                return compute(dq_acc)
-            return jax.lax.cond(q_max >= kidx_blk[0], compute, skip, dq_acc)
-
-        dq0 = jnp.zeros((B, Bq, K, G, Dh), jnp.float32) + zero
-        dq_i, (dk_i, dv_i) = jax.lax.scan(body, dq0, (k_b, v_b, kseg_b, kidx_b))
-        return (dk_acc + dk_i, dv_acc + dv_i), dq_i
-
-    dk0 = jnp.zeros((n_kv, B, M, K, Dh), jnp.float32) + zero
-    dv0 = jnp.zeros((n_kv, B, M, K, Dh), jnp.float32) + zero
-    (dk_b, dv_b), dq_b = jax.lax.scan(
-        q_block, (dk0, dv0), (qh_b, doh_b, outh_b, lse_b, qseg_b, qidx_b)
-    )
+        dq_parts.append(dq_i)
+        if kv_len == n_kv:
+            dk_full = dk_full + dk_i
+            dv_full = dv_full + dv_i
+        else:
+            dk_full = dk_full.at[:kv_len].add(dk_i)
+            dv_full = dv_full.at[:kv_len].add(dv_i)
+    dq_b = dq_parts[0] if len(dq_parts) == 1 else jnp.concatenate(dq_parts, axis=0)
     dq = (dq_b.swapaxes(0, 1).reshape(B, Lq, H, Dh) * scale).astype(q.dtype)
-    dk = (dk_b.swapaxes(0, 1).reshape(B, Lkv, K, Dh) * scale).astype(k.dtype)
-    dv = dv_b.swapaxes(0, 1).reshape(B, Lkv, K, Dh).astype(v.dtype)
+    dk = (dk_full.swapaxes(0, 1).reshape(B, Lkv, K, Dh) * scale).astype(k.dtype)
+    dv = dv_full.swapaxes(0, 1).reshape(B, Lkv, K, Dh).astype(v.dtype)
     return dq, dk, dv, None, None, None
 
 
@@ -282,9 +355,15 @@ def mha_packed_blockwise_simple(
     segment_ids: jnp.ndarray,  # [B, L]
     position_ids: jnp.ndarray | None = None,  # unused (flat-index causality)
     scale: float | None = None,
-    block_kv: int = 512,
+    block_kv: int | None = None,
 ) -> jnp.ndarray:
-    """Drop-in for ``mha_packed`` (q and kv cover the same packed row)."""
+    """Drop-in for ``mha_packed`` (q and kv cover the same packed row).
+    Long rows take larger tiles: bq=512/bkv=1024 measured 52.2 vs 56.5 ms
+    f+b at L=16k (fewer scan iterations amortize the per-block VPU work)."""
+    L = q.shape[1]
+    if block_kv is None:
+        block_kv = 1024 if L >= 8192 else 512
+    block_q = 512 if L >= 8192 else 256
     return mha_packed_blockwise(
-        q, k, v, segment_ids, segment_ids, 0, scale, block_kv
+        q, k, v, segment_ids, segment_ids, 0, scale, block_kv, block_q
     )

@@ -246,7 +246,9 @@ class TrainerLoop:
         self.save_checkpoint_steps = int(cfg.finetune.get("save_checkpoint_steps", 0))
         self.checkpoint_dir = Path(exp_path) / "finetune"
 
-        remat = bool(cfg.finetune.get("gradient_checkpointing", True))
+        # gradient_checkpointing: true → "auto" (selective at long L),
+        # false → off, or an explicit policy string "full" | "mlp"
+        remat_cfg = cfg.finetune.get("gradient_checkpointing", True)
         attn_impl: Any = str(cfg.finetune.get("attn_impl", "auto"))
         cp = int(cfg.get("parallel", {}).get("cp", 1)) if cfg.get("parallel") else 1
         seq_length = int(cfg.finetune.get("seq_length", 1024))
@@ -281,6 +283,18 @@ class TrainerLoop:
         # (10 GB at 16k x 152k vocab — over v5e HBM); under CP the L axis is
         # GSPMD-sharded and each device already holds only L/cp of the logits
         logits_chunk = 2048 if (cp == 1 and seq_length >= 8192) else None
+        # remat policy: full per-layer remat by default. "mlp" (selective:
+        # MLP recomputed, attention residuals kept) is OPT-IN only — at 16k
+        # single-chip with fp32 adam moments the attention residuals push
+        # past v5e HBM (measured ResourceExhausted); where HBM allows it,
+        # it skips the attention re-forward that is ~70% of the long-L step
+        # (scripts/probe_16k.py profile)
+        if remat_cfg in (True, "auto", "full", "true"):
+            remat: Any = True
+        elif remat_cfg == "mlp":
+            remat = "mlp"
+        else:
+            remat = False
 
         lora_cfg = self.lora_cfg
 

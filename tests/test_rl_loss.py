@@ -357,3 +357,55 @@ def test_chunked_logits_matches_full(policy, entropy_bonus):
         grads_full,
         grads_chunk,
     )
+
+
+def test_remat_mlp_matches_full_remat():
+    """Selective remat (remat='mlp': MLP recomputed, attention residuals
+    kept) must produce the same loss and gradients as full per-layer remat —
+    it changes memory/time trade only, not math."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pipelinerl_tpu.models.transformer import ModelConfig, init_params
+    from pipelinerl_tpu.train.rl_loss import RLLossConfig, rl_loss
+
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_layers=2, num_heads=2, num_kv_heads=2, dtype=jnp.float32,
+    )
+    params = init_params(jax.random.key(0), cfg)
+    rng = np.random.default_rng(0)
+    L = 64
+    ids = rng.integers(1, 60, (1, L)).astype(np.int32)
+    seg = (np.arange(L) // 16).astype(np.int32)[None]
+    pos = (np.arange(L) % 16).astype(np.int32)[None]
+    batch = {
+        "input_ids": jnp.asarray(ids), "labels": jnp.asarray(ids),
+        "position_ids": jnp.asarray(pos), "segment_ids": jnp.asarray(seg),
+        "rewards": jnp.ones((1, L), jnp.float32),
+        "advantages": jnp.ones((1, L), jnp.float32),
+        "ref_logprobs": jnp.zeros((1, L), jnp.float32),
+        "old_logprobs": jnp.full((1, L), -1.0, jnp.float32),
+        "group_tokens": jnp.full((1, L), 16.0, jnp.float32),
+        "num_labels": jnp.full((1, L), 16.0, jnp.float32),
+        "overflow": jnp.zeros((1, L), jnp.float32),
+    }
+    loss_cfg = RLLossConfig(policy_loss="reinforce", batch_size=4, max_segments=8)
+
+    def run(remat):
+        def loss_fn(p):
+            return rl_loss(p, cfg, loss_cfg, batch, jnp.zeros(()), 10,
+                           jnp.zeros(()), remat=remat, attn_impl="blockwise")
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        return loss, grads
+
+    loss_full, g_full = run(True)
+    loss_mlp, g_mlp = run("mlp")
+    np.testing.assert_allclose(float(loss_full), float(loss_mlp), rtol=1e-6)
+    for (ka, a), (kb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(g_full),
+        jax.tree_util.tree_leaves_with_path(g_mlp),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
