@@ -89,6 +89,7 @@ def _submit(engine, rng, prompt_len, max_tokens, n, jitter=False):
 def bench_engine(params, model_cfg, param_bytes, n_params) -> dict:
     """Headline decode throughput + jittered stream + grouped rollouts +
     utilization during an in-flight weight push."""
+    import jax
     import jax.numpy as jnp
 
     from pipelinerl_tpu.inference import EngineConfig, GenRequest, InferenceEngine, SamplingParams
@@ -172,7 +173,9 @@ def bench_engine(params, model_cfg, param_bytes, n_params) -> dict:
         f"({ms_per_step:.1f} ms/step at batch {SLOTS})"
     )
 
-    # continuous stream: jittered lengths stagger finishes (realistic load)
+    # continuous stream: jittered lengths stagger finishes (realistic load).
+    # Kept for round-to-round comparability; the submit-then-drain shape has
+    # an inherent low-occupancy ramp-down tail.
     gen_before = engine.total_generated_tokens
     waste_before = engine.speculative_wasted_tokens
     t0 = time.monotonic()
@@ -186,6 +189,35 @@ def bench_engine(params, model_cfg, param_bytes, n_params) -> dict:
         f"continuous stream (jittered): {stream_tok_per_sec:.0f} useful tok/s, "
         f"waste {100 * stream_waste_frac:.1f}%, windows {engine.window_size_counts}"
     )
+
+    # sustained stream: jittered requests topped up for a fixed window —
+    # the production actor keeps the queue fed, so no drain tail
+    sustained: list = []
+
+    def step_fed():
+        sustained[:] = [f for f in sustained if not f.done()]
+        deficit = SLOTS + 8 - engine.num_active - engine.num_pending
+        if deficit > 0:
+            sustained.extend(submit_wave(deficit, jitter=True))
+    for _ in range(10):
+        step_fed()
+        engine.step()
+    gen_before = engine.total_generated_tokens
+    waste_before = engine.speculative_wasted_tokens
+    t0 = time.monotonic()
+    while time.monotonic() - t0 < 12.0:
+        step_fed()
+        engine.step()
+    sus_elapsed = time.monotonic() - t0
+    sus_gen = engine.total_generated_tokens - gen_before
+    sus_waste = engine.speculative_wasted_tokens - waste_before
+    sustained_tok_per_sec = sus_gen / sus_elapsed
+    sustained_waste_frac = sus_waste / max(1, sus_gen + sus_waste)
+    log(
+        f"sustained stream (topped-up): {sustained_tok_per_sec:.0f} useful tok/s, "
+        f"waste {100 * sustained_waste_frac:.1f}%"
+    )
+    _drain(engine, sustained)
 
     # roofline
     steps_per_sec = steps / elapsed
@@ -268,7 +300,8 @@ def bench_engine(params, model_cfg, param_bytes, n_params) -> dict:
         f"HTTP weight push: {push_span.get('issued', 0)*1e3:.1f}ms deserialize+issue, "
         f"transfer {timings.get('transfer_s', 0):.2f}s "
         f"(stall {timings.get('stall_s', 0):.2f}s, "
-        f"{timings.get('bytes', 0)/1e9:.2f} GB @ {timings.get('gbps', 0):.2f} GB/s), "
+        f"{timings.get('bytes_done', timings.get('bytes', 0))/1e9:.2f} of "
+        f"{timings.get('bytes', 0)/1e9:.2f} GB), "
         f"push span {push_elapsed:.2f}s completed={push_completed}, decode "
         f"{push_rate:.0f} tok/s during push vs {steady_rate:.0f} steady "
         f"(utilization {utilization_http:.2f})"
@@ -292,12 +325,22 @@ def bench_engine(params, model_cfg, param_bytes, n_params) -> dict:
             step_saturated()
     new_tree = jax.tree.map(lambda x: x * 1.0, params)
     jax.block_until_ready(new_tree)
-    for _ in range(4):
+    # re-measure steady state immediately before the swap window (the
+    # tunnel's step time drifts minute-to-minute; a stale baseline reads
+    # as a fake utilization dip)
+    for _ in range(6):
         step_saturated()
     gen_before = engine.total_generated_tokens
     t0 = time.monotonic()
+    for _ in range(24):
+        step_saturated()
+    steady_rate = (engine.total_generated_tokens - gen_before) / (
+        time.monotonic() - t0
+    )
+    gen_before = engine.total_generated_tokens
+    t0 = time.monotonic()
     engine.update_params(new_tree, version=9)
-    for _ in range(16):
+    for _ in range(24):
         step_saturated()
     assert engine.version == 9
     dev_elapsed = time.monotonic() - t0
@@ -316,6 +359,8 @@ def bench_engine(params, model_cfg, param_bytes, n_params) -> dict:
         "tok_per_sec": tok_per_sec,
         "stream_tok_per_sec": stream_tok_per_sec,
         "stream_waste_frac": stream_waste_frac,
+        "sustained_tok_per_sec": sustained_tok_per_sec,
+        "sustained_waste_frac": sustained_waste_frac,
         "group_tok_per_sec": group_tok_per_sec,
         "hbm_util": hbm_util,
         "mfu": mfu,
@@ -768,8 +813,9 @@ def bench_7b_smoke() -> dict:
     util7 = min(1.0, push_rate / max(steady, 1e-9))
     timings = dict(engine.last_push_timings)
     log(
-        f"7B push: stall {timings.get('stall_s', 0):.2f}s of "
-        f"{timings.get('bytes', 0)/1e9:.1f} GB @ {timings.get('gbps', 0):.2f} GB/s, "
+        f"7B push: stall {timings.get('stall_s', 0):.2f}s, "
+        f"{timings.get('bytes_done', timings.get('bytes', 0))/1e9:.1f} of "
+        f"{timings.get('bytes', 0)/1e9:.1f} GB, "
         f"window {push_elapsed:.2f}s completed={completed7}, "
         f"decode {push_rate:.0f} vs {steady:.0f} steady (utilization {util7:.2f})"
     )
@@ -918,6 +964,8 @@ def main() -> None:
                 "grouped_rollout_tokens_per_sec": round(eng["group_tok_per_sec"], 1),
                 "continuous_stream_tokens_per_sec": round(eng["stream_tok_per_sec"], 1),
                 "continuous_stream_waste_frac": round(eng["stream_waste_frac"], 4),
+                "sustained_stream_tokens_per_sec": round(eng["sustained_tok_per_sec"], 1),
+                "sustained_stream_waste_frac": round(eng["sustained_waste_frac"], 4),
                 "warmup_compile_s": round(eng["warmup_s"], 1),
                 "warmup_compile_warm_s": round(eng.get("warmup_warm_s", -1.0), 1),
                 "speculation_waste_frac": round(eng["speculation_waste_frac"], 4),

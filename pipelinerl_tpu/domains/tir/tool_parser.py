@@ -81,3 +81,71 @@ def parse_tool_calls(text: str) -> tuple[list[ToolCall], str]:
     if final:
         content = final.group(1)
     return calls, content.strip()
+
+
+class StreamingToolParser:
+    """Incremental ``<tool_call>{json}</tool_call>`` extraction from SSE
+    deltas (the reference plugin's streaming mode,
+    /root/reference/pipelinerl/rl_tool_parser_plugin.py:43-201): feed each
+    delta, get back the content that is safe to emit (tool blocks and
+    partial tags held back) plus any tool calls whose closing tag just
+    arrived — the signal an SSE server uses to terminate generation early
+    instead of decoding tokens past the call."""
+
+    _OPEN = "<tool_call>"
+    _CLOSE = "</tool_call>"
+
+    def __init__(self) -> None:
+        self._buf = ""
+        self._in_call = False
+        self.calls: list[ToolCall] = []
+
+    def feed(self, delta: str) -> tuple[str, list[ToolCall]]:
+        """→ (releasable content delta, tool calls completed by this delta)."""
+        self._buf += delta
+        content: list[str] = []
+        new_calls: list[ToolCall] = []
+        while True:
+            if self._in_call:
+                end = self._buf.find(self._CLOSE)
+                if end == -1:
+                    break  # wait for the closing tag
+                raw = self._buf[:end]
+                self._buf = self._buf[end + len(self._CLOSE):]
+                self._in_call = False
+                try:
+                    call = _call_from_obj(json.loads(raw.strip()))
+                except json.JSONDecodeError:
+                    call = None
+                if call:
+                    new_calls.append(call)
+                    self.calls.append(call)
+            else:
+                start = self._buf.find(self._OPEN)
+                if start != -1:
+                    content.append(self._buf[:start])
+                    self._buf = self._buf[start + len(self._OPEN):]
+                    self._in_call = True
+                    continue
+                # hold back any trailing partial "<tool_call" prefix
+                hold = 0
+                for h in range(min(len(self._buf), len(self._OPEN) - 1), 0, -1):
+                    if self._OPEN.startswith(self._buf[-h:]):
+                        hold = h
+                        break
+                if hold:
+                    content.append(self._buf[:-hold])
+                    self._buf = self._buf[-hold:]
+                else:
+                    content.append(self._buf)
+                    self._buf = ""
+                break
+        return "".join(content), new_calls
+
+    def flush(self) -> str:
+        """End of stream: release whatever is still buffered (an unclosed
+        tool block is returned as plain text, tags included)."""
+        out = (self._OPEN + self._buf) if self._in_call else self._buf
+        self._buf = ""
+        self._in_call = False
+        return out

@@ -266,7 +266,14 @@ class InferenceEngine:
 
         layout = cfg.kv_layout
         if layout == "auto":
-            layout = "paged" if cfg.max_len >= 4096 else "slab"
+            # Slab wins on throughput decisively: BENCH_r04 measured the
+            # paged pool at 0.22x slab tok/s even while admitting 2.1x the
+            # concurrent sequences at 0.5x the bytes — the capacity win does
+            # not pay for the page-gather decode cost on this hardware.
+            # Paged stays OPT-IN (kv_layout=paged) for prefix-cache-heavy
+            # multi-turn serving, where cross-turn page reuse measured a
+            # 1.6x rollout speedup (BENCH_r04 multiturn_prefix_speedup).
+            layout = "slab"
         self.paged = layout == "paged"
 
         self.mesh = None
@@ -770,6 +777,7 @@ class InferenceEngine:
         atomic = total <= self.cfg.push_double_buffer_max_bytes
         t0 = time.monotonic()
         stall_total = 0.0
+        bytes_done = 0
         staged_flat: dict = {}
         vision_flat: dict = {}
         for g in groups:
@@ -802,6 +810,17 @@ class InferenceEngine:
                     body, dt, base + int(g["byte_offset"]), lo, hi
                 )
                 stall_total += stall
+                bytes_done += (hi - lo) * dt.itemsize
+                # progress is visible mid-push (a paced push on a slow link
+                # can span minutes; zeros until completion are useless)
+                self.last_push_timings = {
+                    "transfer_s": time.monotonic() - t0,
+                    "stall_s": stall_total,
+                    "bytes_done": bytes_done,
+                    "bytes": total,
+                    "in_progress": True,
+                    "mode": "blob" if atomic else "blob-chunked",
+                }
                 rebased = [
                     (name, dtn, shape, off - lo, count)
                     for name, dtn, shape, off, count in chunk

@@ -183,19 +183,43 @@ class InferenceServer:
             }
             return f"data: {json.dumps(obj)}\n\n".encode()
 
+        # streaming tool-call extraction (the reference plugin's streaming
+        # mode, rl_tool_parser_plugin.py:43-201): when the request carries
+        # tools, tool blocks are held out of the content stream, completed
+        # calls arrive as OpenAI delta.tool_calls entries, and generation
+        # TERMINATES at the first closed </tool_call> instead of decoding
+        # past it (finish_reason "tool_calls")
+        tool_parser = None
+        if body.get("tools") and body.get("tool_choice") != "none":
+            from ..domains.tir.tool_parser import StreamingToolParser
+
+            tool_parser = StreamingToolParser()
         try:
             await resp.write(chunk_payload({"role": "assistant", "content": ""}, None))
             while True:
                 tokens, logprobs, finish = await queue.get()
+                stop_for_tools = False
                 if tokens:
                     all_ids.extend(tokens)
                     # decode the FULL transcript and diff: per-chunk decode
                     # would split multi-token glyphs at window boundaries
                     text = self.tokenizer.decode(all_ids, skip_special_tokens=True)
                     delta_text, sent_text = text[len(sent_text):], text
+                    delta: dict = {"content": delta_text}
+                    if tool_parser is not None:
+                        content, new_calls = tool_parser.feed(delta_text)
+                        delta = {"content": content} if content else {}
+                        if new_calls:
+                            delta["tool_calls"] = [
+                                {"index": i, **c.to_dict()}
+                                for i, c in enumerate(
+                                    new_calls, len(tool_parser.calls) - len(new_calls)
+                                )
+                            ]
+                            stop_for_tools = True
                     await resp.write(
                         chunk_payload(
-                            {"content": delta_text},
+                            delta,
                             None,
                             {
                                 "token_ids": [int(t) for t in tokens],
@@ -212,8 +236,30 @@ class InferenceServer:
                             },
                         )
                     )
+                if stop_for_tools and finish is None:
+                    # first closed tool call: free the slot now
+                    self.engine.abort(request_id)
+                    result = await asyncio.wrap_future(future)
+                    await resp.write(
+                        chunk_payload(
+                            {},
+                            "tool_calls",
+                            {
+                                "usage": {
+                                    "prompt_tokens": result.prompt_tokens,
+                                    "completion_tokens": len(result.token_ids),
+                                    "total_tokens": result.prompt_tokens
+                                    + len(result.token_ids),
+                                },
+                                "model_version": result.model_version_start,
+                            },
+                        )
+                    )
+                    break
                 if finish is not None:
                     result = await asyncio.wrap_future(future)
+                    if tool_parser is not None and tool_parser.calls:
+                        finish = "tool_calls"
                     await resp.write(
                         chunk_payload(
                             {},

@@ -233,7 +233,10 @@ def test_paged_tp_matches_single_device():
     assert tp_engine.version == 3
 
 
-def test_auto_layout_picks_paged_at_long_context():
+def test_auto_layout_is_slab_paged_is_opt_in():
+    """kv_layout=auto resolves to slab at every length (BENCH_r04: paged
+    measured 0.22x slab throughput even with a 2.1x concurrency win);
+    paged remains available explicitly for prefix-cache serving."""
     params, model_cfg = _model()
     short = _engine(params, model_cfg, "auto")
     assert not short.paged
@@ -241,7 +244,12 @@ def test_auto_layout_picks_paged_at_long_context():
         params, model_cfg, "auto", max_len=4096,
         prefill_buckets=(64, 128), kv_pool_blocks=64,
     )
-    assert long.paged
+    assert not long.paged
+    explicit = _engine(
+        params, model_cfg, "paged", max_len=4096,
+        prefill_buckets=(64, 128), kv_pool_blocks=64,
+    )
+    assert explicit.paged
 
 
 def test_prefix_extend_batched_heterogeneous_wave():
