@@ -243,8 +243,22 @@ class ActorLoop:
             finally:
                 self._active_per_llm[llm_idx] -= 1
         result.group_id = group_id
-        version = self.trainer_state.propagated_weight_version or 0
-        result.model_version = version
+        if result.model_version is None:
+            # the version the engine actually GENERATED under (stamped by
+            # make_training_text from the engine's model_version_start) —
+            # overwriting with the trainer's current version here made every
+            # lag read ~0 (round-4 find); trainer_state is only a fallback
+            # for domains that build TrainingTexts by hand
+            versions = [
+                t.metadata.get("model_version")
+                for t in result.training_texts
+                if t.metadata.get("model_version") is not None
+            ]
+            result.model_version = (
+                min(versions)
+                if versions
+                else (self.trainer_state.propagated_weight_version or 0)
+            )
         return result
 
     async def _run_group(self, problem: dict) -> list[RolloutResult]:

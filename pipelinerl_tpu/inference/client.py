@@ -217,6 +217,9 @@ def make_training_text(llm: BaseLLM, llm_call: LLMCall) -> TrainingText:
         prompt_tokens=len(prompt_ids),
         output_tokens=len(completion_ids),
         visual_features=visual_features,
+        # version the ENGINE used to generate this sample (the lag metric's
+        # numerator; a sample spanning an in-flight update keeps the start)
+        metadata={"model_version": llm_call.model_version_start},
     )
 
 

@@ -106,3 +106,42 @@ def test_degenerate_abort_rollouts_never_become_samples(tmp_path):
         for f in actor_stream.rglob("*.jsonl"):
             rows += [l for l in f.read_text().splitlines() if l.strip()]
     assert rows == []
+
+
+def test_model_version_stamped_from_generation_not_completion():
+    """The sample's model_version must be the version the ENGINE generated
+    under (metadata stamped by make_training_text), NOT the trainer's
+    current version at group-completion time — the latter made every lag
+    metric read ~0 (round-4 find)."""
+    import asyncio
+
+    from pipelinerl_tpu.types import BaseMetrics, RolloutResult, TrainingText
+
+    loop = object.__new__(ActorLoop)
+    loop.cfg = Config({"seed": 0, "actor": {"max_rollout_retries": 0}})
+    loop._active_per_llm = [0]
+    loop.llms = [object()]
+
+    class FakeState:
+        propagated_weight_version = 500  # trainer has long moved on
+
+    loop.trainer_state = FakeState()
+
+    async def fake_policy(cfg, llm, problem, session):
+        return RolloutResult(
+            training_texts=[
+                TrainingText(input_ids=[1, 2], labels=[-100, 2],
+                             metadata={"model_version": 120}),
+                TrainingText(input_ids=[1, 3], labels=[-100, 3],
+                             metadata={"model_version": 118}),
+            ],
+            metrics=BaseMetrics(reward=1.0, success=1, no_error=True, no_answer=False),
+        )
+
+    loop.rollout_policy = staticmethod(fake_policy)
+    from pipelinerl_tpu.actor import ActorStats
+
+    loop.stats = ActorStats()
+    loop._pick_llm = lambda: 0
+    result = asyncio.run(loop._run_one_rollout({"task": "x"}, "g0", 0))
+    assert result.model_version == 118  # min generation version, not 500
