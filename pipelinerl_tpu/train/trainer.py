@@ -634,6 +634,7 @@ class TrainerLoop:
         self.publish(writer, SamplesProcessed(samples=self.metrics.samples))
         samples_this_step = 0
         step_metric_sums: dict[str, float] = {}
+        step_lag_min, step_lag_max = float("inf"), -1
         t_start = time.monotonic()
         t_step = time.monotonic()
         loader_thread.start()
@@ -646,12 +647,15 @@ class TrainerLoop:
                     self.metrics.time_waiting_for_data += time.monotonic() - t_wait
                     continue
                 self.metrics.time_waiting_for_data += time.monotonic() - t_wait
-                if (
-                    self.max_lag is not None
-                    and not batch.sentinel
-                    and self.metrics.samples - batch.model_version > int(self.max_lag)
-                ):
-                    self.metrics.samples_too_old_to_train += batch.num_sequences
+                if not batch.sentinel:
+                    # training-time staleness: trained-samples counter vs the
+                    # version the batch's samples were GENERATED under (the
+                    # reference's lag min/max per batch, finetune_loop.py:680-690)
+                    lag = self.metrics.samples - batch.model_version
+                    step_lag_min = min(step_lag_min, lag)
+                    step_lag_max = max(step_lag_max, lag)
+                    if self.max_lag is not None and lag > int(self.max_lag):
+                        self.metrics.samples_too_old_to_train += batch.num_sequences
                 memdbg.snapshot("before_train_pass", step=self.metrics.completed_steps)
                 pass_metrics = self.train_pass(batch)
                 memdbg.snapshot("after_train_pass", step=self.metrics.completed_steps)
@@ -692,10 +696,16 @@ class TrainerLoop:
                             "loss": step_metric_sums.get("loss", 0.0),
                             "samples_too_old_to_train": self.metrics.samples_too_old_to_train,
                             "time_waiting_for_data": self.metrics.time_waiting_for_data,
+                            **(
+                                {"lag/min": step_lag_min, "lag/max": step_lag_max}
+                                if step_lag_max >= 0
+                                else {}
+                            ),
                         },
                         step=self.metrics.completed_steps,
                     )
                     step_metric_sums = {}
+                    step_lag_min, step_lag_max = float("inf"), -1
                     samples_this_step = 0
                     self.maybe_push_weights(writer)
                     memdbg.snapshot("after_weight_push", step=self.metrics.completed_steps)
