@@ -189,7 +189,7 @@ def test_parallel_push_to_two_engines(tiny_params):
 
 @pytest.mark.parametrize("double_buffer_max", [1 << 30, 0])
 def test_serialized_blob_push_roundtrip(tiny_params, double_buffer_max):
-    """update_params_serialized ships the PWT2 blob in one (or a few
+    """update_params_serialized ships the PWT3 blob in one (or a few
     chunked) H2D transfers and carves leaves ON-DEVICE — per-leaf device_put
     collapses ~25x behind in-flight decode windows on the tunneled chip
     (round-4 probe). Values must round-trip exactly in both modes."""
