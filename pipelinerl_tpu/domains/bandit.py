@@ -27,13 +27,16 @@ async def generate_bandit_rollout(
     messages = [{"role": "user", "content": problem["prompt"]}]
     llm_call = await llm_async_generate(llm, Prompt(messages=messages), session)
     content = llm_call.output.content or ""
-    success = int(content.startswith(problem["target"]))
-    # dense shaping: distance of the first generated byte from the target
-    # byte, so leave-one-out groups carry gradient signal from step one
+    lstripped = content.lstrip()
+    success = int(lstripped.startswith(problem["target"]))
+    # dense shaping: distance of the first generated character from the
+    # target character, so leave-one-out groups carry gradient signal from
+    # step one. Computed on DECODED text (not raw token ids) so the oracle
+    # works under any tokenizer — the byte-level toy AND a real BPE
+    # checkpoint (whose first token may be a multi-char merge).
     target_byte = ord(problem["target"][0])
-    if llm_call.output_token_ids and llm_call.output_token_ids[0] < 256:
-        first = llm_call.output_token_ids[0]
-        reward = 1.0 - abs(first - target_byte) / 256.0
+    if lstripped:
+        reward = max(0.0, 1.0 - abs(ord(lstripped[0]) - target_byte) / 256.0)
     else:
         reward = 0.0
     if success:

@@ -31,6 +31,29 @@ from .engine import GenRequest, InferenceEngine, SamplingParams
 logger = logging.getLogger(__name__)
 
 
+def _tool_close_boundary(tokenizer, ids: list[int], n_calls: int) -> int:
+    """Smallest token-prefix length of ``ids`` whose decoded text contains
+    ``n_calls`` closing ``</tool_call>`` tags — the exact point the token
+    stream must stop when tool calls terminate generation early. Returns
+    ``len(ids)`` if the tags are not reachable in the decode (defensive:
+    never drop tokens we cannot attribute past a tag)."""
+    close = "</tool_call>"
+
+    def count(k: int) -> int:
+        return tokenizer.decode(ids[:k], skip_special_tokens=True).count(close)
+
+    if not ids or count(len(ids)) < n_calls:
+        return len(ids)
+    lo, hi = 1, len(ids)
+    while lo < hi:
+        mid = (lo + hi) // 2
+        if count(mid) >= n_calls:
+            hi = mid
+        else:
+            lo = mid + 1
+    return lo
+
+
 class InferenceServer:
     def __init__(
         self,
@@ -50,6 +73,7 @@ class InferenceServer:
         self.app.router.add_post("/v1/chat/completions", self.chat_completions)
         self.app.router.add_post("/v1/completions", self.completions)
         self.app.router.add_post("/receive_weight_update", self.receive_weight_update)
+        self.app.router.add_get("/weight_version", self.weight_version)
         self.app.router.add_get("/health", self.health)
         self.app.router.add_get("/v1/models", self.models)
 
@@ -62,6 +86,14 @@ class InferenceServer:
                 "counters": self.engine.perf_counters(),
             }
         )
+
+    async def weight_version(self, request: web.Request) -> web.Response:
+        """Cheap swap-confirmation poll: a pusher that does not want to hold
+        its POST open for the whole paced transfer can fire-and-poll here
+        (push_weights_http's timeout is sized to outlast the server wait,
+        but external operators get this endpoint)."""
+        pt = self.engine.push_counters() if hasattr(self.engine, "push_counters") else {}
+        return web.json_response({"version": self.engine.version, **pt})
 
     async def models(self, request: web.Request) -> web.Response:
         return web.json_response(
@@ -217,6 +249,19 @@ class InferenceServer:
                                 )
                             ]
                             stop_for_tools = True
+                            # terminate the TOKEN stream exactly at the
+                            # closing tag: dispatched-but-unsynced window
+                            # tokens past </tool_call> must not reach
+                            # clients or training samples (the reference
+                            # parser stops generation at the tag itself)
+                            boundary = _tool_close_boundary(
+                                self.tokenizer, all_ids, len(tool_parser.calls)
+                            )
+                            drop = len(all_ids) - boundary
+                            if drop > 0:
+                                tokens = tokens[: max(0, len(tokens) - drop)]
+                                logprobs = logprobs[: len(tokens)]
+                                del all_ids[boundary:]
                     await resp.write(
                         chunk_payload(
                             delta,
@@ -237,7 +282,9 @@ class InferenceServer:
                         )
                     )
                 if stop_for_tools and finish is None:
-                    # first closed tool call: free the slot now
+                    # first closed tool call: free the slot now. Usage
+                    # counts the TRUNCATED stream (post-call tail excluded),
+                    # not whatever landed in the aborted engine result.
                     self.engine.abort(request_id)
                     result = await asyncio.wrap_future(future)
                     await resp.write(
@@ -247,9 +294,9 @@ class InferenceServer:
                             {
                                 "usage": {
                                     "prompt_tokens": result.prompt_tokens,
-                                    "completion_tokens": len(result.token_ids),
+                                    "completion_tokens": len(all_ids),
                                     "total_tokens": result.prompt_tokens
-                                    + len(result.token_ids),
+                                    + len(all_ids),
                                 },
                                 "model_version": result.model_version_start,
                             },
@@ -258,8 +305,16 @@ class InferenceServer:
                     break
                 if finish is not None:
                     result = await asyncio.wrap_future(future)
-                    if tool_parser is not None and tool_parser.calls:
-                        finish = "tool_calls"
+                    if tool_parser is not None:
+                        # stream ended via max_tokens/stop with text still
+                        # buffered (a partial '<tool' prefix or an unclosed
+                        # block): release it so clients see the full
+                        # completion rather than a silent truncation
+                        tail = tool_parser.flush()
+                        if tail:
+                            await resp.write(chunk_payload({"content": tail}, None))
+                        if tool_parser.calls:
+                            finish = "tool_calls"
                     await resp.write(
                         chunk_payload(
                             {},
@@ -361,9 +416,14 @@ class InferenceServer:
             body = await request.read()
             # hand the raw wire body to the engine's transfer thread: it
             # ships each dtype run in paced transfers, carves leaves
-            # on-device, and the engine thread pointer-swaps between windows
+            # on-device, and the engine thread pointer-swaps between windows.
+            # Run in an executor: on mesh (tp/pp) engines this falls through
+            # to deserialize+shard_params — a multi-GB device transfer that
+            # must not stall every in-flight SSE stream on the event loop.
             try:
-                version = self.engine.update_params_serialized(body)
+                version = await loop.run_in_executor(
+                    None, self.engine.update_params_serialized, body
+                )
             except ValueError as exc:  # tree/spec mismatch: reject loudly
                 return web.json_response({"error": str(exc)}, status=400)
             # reply only once the swap is live so HTTP 200 == "engine now

@@ -179,12 +179,21 @@ def _push_one(url: str, body: bytes, timeout: float) -> None:
 
 
 def push_weights_http(
-    urls: list[str], params: dict, version: int, timeout: float = 300.0
+    urls: list[str], params: dict, version: int, timeout: float | None = None
 ) -> None:
     """POST the serialized params to every engine server IN PARALLEL
     (reference fan-out: finetune_loop.py:183-198). Engines swap in-flight
-    (no pause); any failure raises after all pushes settle."""
+    (no pause); any failure raises after all pushes settle.
+
+    The default timeout is size-aware and strictly LONGER than the server's
+    600 s wait-for-swap deadline in /receive_weight_update: paced transfers
+    deliberately stretch wall time (~10x serial at duty 0.9), so a fixed
+    client timeout below the server's would abort the POST while the engine
+    still applies the update — the trainer would crash on a push that in
+    fact succeeds. Floor 660 s, plus 1 s per 50 MB of body for slow links."""
     body = serialize_params(params, version)
+    if timeout is None:
+        timeout = 660.0 + len(body) / 50e6
     t0 = time.monotonic()
     with ThreadPoolExecutor(max_workers=max(1, len(urls))) as pool:
         futures = {pool.submit(_push_one, url, body, timeout): url for url in urls}

@@ -1,0 +1,144 @@
+"""Build a genuine HF-format checkpoint locally (zero-egress substitute for
+downloading Qwen2.5-0.5B-Instruct).
+
+The reference's operational oracle loads a real HF checkpoint — tokenizer
+files, chat template, safetensors — through the production path
+(`/root/reference/conf/test.yaml:1-27`, vLLM + AutoTokenizer). This builder
+produces the same ARTIFACT SHAPE with locally-trained components so the
+`hf_loader → engine → actor → trainer → push` system path runs against a
+real tokenizer (a `tokenizers`-library BPE with merges, ByteLevel pre-tok,
+special tokens), a real ChatML chat template, and real vocab padding
+(model vocab padded past `len(tokenizer)`, exercising the `valid_vocab`
+logit guard) — everything except pretrained weights, which a zero-egress
+environment cannot obtain.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+from pathlib import Path
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+# Qwen-style ChatML — the template family the reference's chat path uses.
+CHATML_TEMPLATE = (
+    "{% for message in messages %}"
+    "{{ '<|im_start|>' + message['role'] + '\n' }}"
+    "{% if message['content'] is string %}{{ message['content'] }}"
+    "{% else %}{% for part in message['content'] %}"
+    "{% if part['type'] == 'text' %}{{ part['text'] }}{% endif %}"
+    "{% endfor %}{% endif %}"
+    "{{ '<|im_end|>' + '\n' }}"
+    "{% endfor %}"
+    "{% if add_generation_prompt %}{{ '<|im_start|>assistant\n' }}{% endif %}"
+)
+
+
+def _corpus() -> list[str]:
+    """Synthetic training text shaped like the hermetic domains' prompts:
+    instructions, digits, guessing/bandit phrasing, plain ASCII prose."""
+    lines = [
+        "say x", "say y", "say z", "Guess the number between 0 and 100.",
+        "Too low. Guess again.", "Too high. Guess again.",
+        "You guessed it! The number was 42.",
+        "How many times does the letter a appear in banana?",
+        "The answer is 3.", "system", "user", "assistant",
+        "You are a helpful assistant.",
+    ]
+    for n in range(0, 101):
+        lines.append(f"Is it {n}? My guess is {n}.")
+    words = (
+        "the quick brown fox jumps over a lazy dog while counting letters and "
+        "numbers in every answer it gives to each question asked by the user"
+    ).split()
+    rng = np.random.default_rng(0)
+    for _ in range(400):
+        k = int(rng.integers(3, 12))
+        lines.append(" ".join(rng.choice(words, size=k)))
+    return lines
+
+
+def build_hf_tokenizer(vocab_size: int = 1024):
+    """Train a real byte-level BPE (merges and all) on the synthetic corpus
+    and wrap it as a PreTrainedTokenizerFast with a ChatML chat template."""
+    from tokenizers import Tokenizer, decoders, models, pre_tokenizers, trainers
+    from transformers import PreTrainedTokenizerFast
+
+    tok = Tokenizer(models.BPE(unk_token=None))
+    tok.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
+    tok.decoder = decoders.ByteLevel()
+    trainer = trainers.BpeTrainer(
+        vocab_size=vocab_size - 3,
+        special_tokens=[],
+        initial_alphabet=pre_tokenizers.ByteLevel.alphabet(),
+        show_progress=False,
+    )
+    tok.train_from_iterator(_corpus(), trainer)
+    tok.add_special_tokens(["<|endoftext|>", "<|im_start|>", "<|im_end|>"])
+    fast = PreTrainedTokenizerFast(
+        tokenizer_object=tok,
+        eos_token="<|im_end|>",
+        pad_token="<|endoftext|>",
+    )
+    fast.chat_template = CHATML_TEMPLATE
+    return fast
+
+
+def build_hf_checkpoint(
+    out_dir: str | Path,
+    *,
+    vocab_size: int = 1024,
+    hidden_size: int = 256,
+    intermediate_size: int = 512,
+    num_layers: int = 4,
+    num_heads: int = 4,
+    num_kv_heads: int = 2,
+    dtype: str = "bfloat16",
+    seed: int = 0,
+) -> Path:
+    """Write an HF checkpoint directory (config.json + model.safetensors +
+    tokenizer.json + tokenizer_config.json with chat template) and return
+    its path. The model vocab is padded up to a multiple of 128 ABOVE the
+    tokenizer's length, so loading it through launch exercises the
+    valid_vocab padding guard exactly as a real Qwen checkpoint does
+    (Qwen2.5: vocab 151936 model-side vs 151665 tokenizer entries)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..train.checkpoints import export_hf
+    from .transformer import ModelConfig, init_params
+
+    out_dir = Path(out_dir)
+    tokenizer = build_hf_tokenizer(vocab_size)
+    n_tok = len(tokenizer)
+    padded_vocab = ((n_tok + 127) // 128 + 1) * 128  # strictly above n_tok
+
+    model_cfg = ModelConfig(
+        vocab_size=padded_vocab,
+        hidden_size=hidden_size,
+        intermediate_size=intermediate_size,
+        num_layers=num_layers,
+        num_heads=num_heads,
+        num_kv_heads=num_kv_heads,
+        attention_bias=True,  # Qwen2 family
+        rope_theta=1_000_000.0,
+        dtype={"bfloat16": jnp.bfloat16, "float32": jnp.float32}[dtype],
+        hf_architecture="Qwen2ForCausalLM",
+    )
+    params = init_params(jax.random.key(seed), model_cfg)
+    ckpt = export_hf(out_dir, params, model_cfg)  # writes out_dir/current
+    tokenizer.save_pretrained(str(ckpt))
+    # generation_config mirrors real checkpoints (eos used by servers)
+    with open(ckpt / "generation_config.json", "w") as f:
+        json.dump(
+            {"eos_token_id": tokenizer.eos_token_id,
+             "pad_token_id": tokenizer.pad_token_id}, f)
+    logger.info(
+        "Built HF fixture checkpoint at %s: vocab %d (tokenizer %d), "
+        "%d layers, hidden %d", ckpt, padded_vocab, n_tok, num_layers,
+        hidden_size,
+    )
+    return ckpt
