@@ -87,6 +87,105 @@ def build_hf_tokenizer(vocab_size: int = 1024):
     return fast
 
 
+def write_random_hf_checkpoint_7b(
+    out_dir: str | Path,
+    *,
+    shard_bytes: int = 1 << 30,
+) -> Path:
+    """Write a Qwen2.5-7B-SHAPED sharded safetensors checkpoint (~15.2 GB
+    bf16) with random weights, streamed shard-by-shard so peak host RAM is
+    one shard. Exercises the 7B disk→host→device path the reference gets
+    from HF from_pretrained + vLLM's sharded loader (README.md:42 trains
+    real 7B checkpoints; zero egress means weight VALUES are random here,
+    but the loader moves the same bytes through the same layout)."""
+    import ml_dtypes
+    from safetensors.numpy import save_file
+
+    out_dir = Path(out_dir)
+    if (out_dir / "config.json").exists():
+        return out_dir  # cached from a previous bench run
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    V, D, I, L, KV_D = 152_064, 3584, 18944, 28, 512
+    block = (
+        np.random.default_rng(0).standard_normal(1 << 20, dtype=np.float32) * 0.02
+    ).astype(ml_dtypes.bfloat16)
+
+    def rand(*shape) -> np.ndarray:
+        n = int(np.prod(shape))
+        reps = -(-n // block.size)
+        return np.tile(block, reps)[:n].reshape(shape)
+
+    def ones(*shape) -> np.ndarray:
+        return np.ones(shape, ml_dtypes.bfloat16)
+
+    def specs():
+        yield "model.embed_tokens.weight", (V, D), rand
+        for i in range(L):
+            p = f"model.layers.{i}."
+            yield p + "input_layernorm.weight", (D,), ones
+            yield p + "post_attention_layernorm.weight", (D,), ones
+            yield p + "self_attn.q_proj.weight", (D, D), rand
+            yield p + "self_attn.q_proj.bias", (D,), rand
+            yield p + "self_attn.k_proj.weight", (KV_D, D), rand
+            yield p + "self_attn.k_proj.bias", (KV_D,), rand
+            yield p + "self_attn.v_proj.weight", (KV_D, D), rand
+            yield p + "self_attn.v_proj.bias", (KV_D,), rand
+            yield p + "self_attn.o_proj.weight", (D, D), rand
+            yield p + "mlp.gate_proj.weight", (I, D), rand
+            yield p + "mlp.up_proj.weight", (I, D), rand
+            yield p + "mlp.down_proj.weight", (D, I), rand
+        yield "model.norm.weight", (D,), ones
+        yield "lm_head.weight", (V, D), rand
+
+    shard: dict[str, np.ndarray] = {}
+    shard_sz = 0
+    shard_idx = 0
+
+    def flush():
+        nonlocal shard, shard_sz, shard_idx
+        if not shard:
+            return
+        shard_idx += 1
+        save_file(shard, str(out_dir / f"model-{shard_idx:05d}.safetensors"))
+        shard = {}
+        shard_sz = 0
+
+    total = 0
+    for name, shape, fill in specs():
+        arr = fill(*shape)
+        if shard_sz + arr.nbytes > shard_bytes and shard:
+            flush()
+        shard[name] = arr
+        shard_sz += arr.nbytes
+        total += arr.nbytes
+    flush()
+
+    config = {
+        "architectures": ["Qwen2ForCausalLM"],
+        "model_type": "qwen2",
+        "vocab_size": V,
+        "hidden_size": D,
+        "intermediate_size": I,
+        "num_hidden_layers": L,
+        "num_attention_heads": 28,
+        "num_key_value_heads": 4,
+        "head_dim": 128,
+        "rope_theta": 1_000_000.0,
+        "rms_norm_eps": 1e-6,
+        "attention_bias": True,
+        "tie_word_embeddings": False,
+        "torch_dtype": "bfloat16",
+    }
+    with open(out_dir / "config.json", "w") as f:
+        json.dump(config, f, indent=1)
+    logger.info(
+        "Wrote 7B-shaped checkpoint: %.1f GB in %d shards at %s",
+        total / 1e9, shard_idx, out_dir,
+    )
+    return out_dir
+
+
 def build_hf_checkpoint(
     out_dir: str | Path,
     *,

@@ -120,13 +120,50 @@ def _read_all_tensors(model_dir: Path) -> dict[str, np.ndarray]:
     return tensors
 
 
+class _LazyTensors:
+    """On-demand safetensors reader: holds only the shard INDEX (name → file)
+    and open file handles — each tensor's bytes are read when requested and
+    released when the caller drops them. This bounds host-RAM staging to one
+    stacked parameter at a time, so a 15 GB 7B checkpoint loads through a
+    host with far less free RAM than the checkpoint size (the reference
+    leans on HF from_pretrained + vLLM's own sharded loader for this)."""
+
+    def __init__(self, model_dir: Path):
+        files = sorted(model_dir.glob("*.safetensors"))
+        if not files:
+            raise FileNotFoundError(f"No *.safetensors under {model_dir}")
+        self._index: dict[str, tuple[Path, str]] = {}
+        for file in files:
+            with safe_open(file, framework="numpy") as f:
+                for name in f.keys():
+                    self._index[_normalize_key(name)] = (file, name)
+        self._handles: dict[Path, Any] = {}
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._index
+
+    def get(self, name: str) -> np.ndarray:
+        if name not in self._index:
+            raise KeyError(f"Missing tensor {name!r} in checkpoint")
+        file, raw_name = self._index[name]
+        h = self._handles.get(file)
+        if h is None:
+            h = self._handles[file] = safe_open(file, framework="numpy")
+        return h.get_tensor(raw_name)
+
+
 def load_hf_model(
     model_dir: str | Path, dtype: Any = jnp.bfloat16
 ) -> tuple[dict, ModelConfig]:
-    """Load an HF checkpoint directory → (params pytree, ModelConfig)."""
+    """Load an HF checkpoint directory → (params pytree, ModelConfig).
+
+    Tensors stream from disk one stacked parameter at a time (_LazyTensors):
+    each layer-stacked matrix is read, stacked on host, put on device, and
+    its host copy dropped before the next — peak host staging is one
+    parameter (~1 GB for a 7B embed table), not the checkpoint size."""
     model_dir = Path(model_dir)
     cfg = load_model_config(model_dir, dtype)
-    raw = _read_all_tensors(model_dir)
+    raw = _LazyTensors(model_dir)
 
     def cast(x: np.ndarray) -> jnp.ndarray:
         # Raw tensors may be bf16 (numpy can't represent it — safetensors
@@ -135,9 +172,7 @@ def load_hf_model(
         return jnp.asarray(x).astype(dtype)
 
     def get(name: str) -> np.ndarray:
-        if name not in raw:
-            raise KeyError(f"Missing tensor {name!r} in checkpoint {model_dir}")
-        return raw[name]
+        return raw.get(name)
 
     L = cfg.num_layers
 
