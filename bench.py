@@ -759,7 +759,10 @@ def bench_train_step(
     for _ in range(4):
         t0 = time.monotonic()
         p2, opt_state, loss = train_step(p2, opt_state, batch)
-        jax.block_until_ready(loss)
+        # force a VALUE fetch: on this backend a deferred execution error can
+        # make block_until_ready return instantly with stale buffers
+        # (round-4 probe finding); float() would raise instead
+        float(np.asarray(loss))
         best = min(best, time.monotonic() - t0)
     del p2, opt_state
     tok_per_sec = L_SEQ / best
@@ -1109,11 +1112,15 @@ def main() -> None:
     )
 
     def train_points():
+        import jax
+
         out = {}
-        # blockwise = what TrainerLoop's attn_impl=auto picks at seq_length>=2048
+        # gqa = what TrainerLoop's attn_impl=auto picks at seq_length>=2048
+        # on TPU (the GQA-folded Pallas kernel, ops/gqa_attention.py)
+        impl = "gqa" if jax.default_backend() not in ("cpu", "gpu") else "blockwise"
         tok, mfu = bench_train_step(
             params, model_cfg, n_params,
-            int(os.environ.get("BENCH_TRAIN_SEQLEN", 4096)), "blockwise", "4k",
+            int(os.environ.get("BENCH_TRAIN_SEQLEN", 4096)), impl, "4k",
         )
         out["train_tokens_per_sec_per_chip"] = round(tok, 1)
         out["train_mfu"] = round(mfu, 4)
@@ -1121,7 +1128,7 @@ def main() -> None:
         # 16k long-context trainer point. logits_chunk is REQUIRED at this L:
         # the full [16k, 152k] fp32 logits are ~10 GB — over v5e HBM.
         t16_tok, t16_mfu = bench_train_step(
-            params, model_cfg, n_params, 16384, "blockwise", "16k",
+            params, model_cfg, n_params, 16384, impl, "16k",
             logits_chunk=2048,
         )
         out["train16k_tokens_per_sec_per_chip"] = round(t16_tok, 1)

@@ -285,6 +285,8 @@ def forward(
         from ..ops.flash_attention import mha_packed_flash as _attn
     elif attn_impl == "blockwise":
         from ..ops.blockwise_attention import mha_packed_blockwise_simple as _attn
+    elif attn_impl == "gqa":
+        from ..ops.gqa_attention import mha_packed_gqa_simple as _attn
     else:
         _attn = mha_packed
 

@@ -256,15 +256,22 @@ class TrainerLoop:
             # cp > 1: the sequence axis is sharded — use the shard_map
             # context-parallel path (O(L/cp) attention memory; the XLA path
             # materializes [L, L] scores and cannot train 32k rows).
-            # Single-device long rows: the blockwise flash kernel — measured
-            # 2.2x over the XLA path at L=4096 on v5e (265 vs 570 ms/step,
-            # 29.7% vs 13.8% MFU; scripts/probe_train_attn.py). Short rows
-            # stay on the XLA path ([L, L] scores fit VMEM-friendly tiles
-            # and compile in seconds rather than minutes).
+            # Single-device long rows on TPU: the GQA-folded Pallas kernel
+            # (ops/gqa_attention.py) — folds G q-heads per kv head into the
+            # matmul rows, keeps the flash update VMEM-resident, and skips
+            # segment-disjoint blocks, which the packed batches are mostly
+            # made of. Measured on v5e (0.5B, bench_train_step): L=16384
+            # step 1999 -> 968 ms (MFU 15.7% -> 32.5%), L=4096 247 -> 202 ms
+            # (31.8% -> 39.0%) vs the pure-JAX blockwise kernel. Non-TPU
+            # backends (CPU tests) keep blockwise — the Pallas kernel needs
+            # interpret mode there. Short rows stay on the XLA path.
+            import jax as _jax
+
+            on_tpu = _jax.default_backend() not in ("cpu", "gpu")
             if cp > 1:
                 attn_impl = "cp"
             elif seq_length >= 2048:
-                attn_impl = "blockwise"
+                attn_impl = "gqa" if on_tpu else "blockwise"
             else:
                 attn_impl = "xla"
         if attn_impl == "cp":

@@ -409,3 +409,59 @@ def test_remat_mlp_matches_full_remat():
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_gqa_attn_impl_grad_parity():
+    """rl_loss with the GQA-folded Pallas kernel (interpret mode) must match
+    the XLA attention path in loss and gradients — guards the trainer's
+    attn_impl=auto -> "gqa" selection on TPU."""
+    import pipelinerl_tpu.ops.gqa_attention as gqa
+    from pipelinerl_tpu.models.transformer import ModelConfig, init_params
+    from pipelinerl_tpu.train.rl_loss import RLLossConfig, rl_loss
+
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_layers=2, num_heads=4, num_kv_heads=2, dtype=jnp.float32,
+    )
+    params = init_params(jax.random.key(1), cfg)
+    rng = np.random.default_rng(1)
+    L = 256
+    ids = rng.integers(1, 60, (1, L)).astype(np.int32)
+    seg = (np.arange(L) // 64).astype(np.int32)[None]
+    pos = (np.arange(L) % 64).astype(np.int32)[None]
+    batch = {
+        "input_ids": jnp.asarray(ids), "labels": jnp.asarray(ids),
+        "position_ids": jnp.asarray(pos), "segment_ids": jnp.asarray(seg),
+        "rewards": jnp.ones((1, L), jnp.float32),
+        "advantages": jnp.ones((1, L), jnp.float32),
+        "ref_logprobs": jnp.zeros((1, L), jnp.float32),
+        "old_logprobs": jnp.full((1, L), -1.0, jnp.float32),
+        "group_tokens": jnp.full((1, L), 64.0, jnp.float32),
+        "num_labels": jnp.full((1, L), 64.0, jnp.float32),
+        "overflow": jnp.zeros((1, L), jnp.float32),
+    }
+    loss_cfg = RLLossConfig(policy_loss="reinforce", batch_size=4, max_segments=8)
+
+    def run(impl):
+        def loss_fn(p):
+            return rl_loss(p, cfg, loss_cfg, batch, jnp.zeros(()), 10,
+                           jnp.zeros(()), remat=False, attn_impl=impl)
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        return loss, grads
+
+    loss_ref, g_ref = run("xla")
+    gqa.INTERPRET = True
+    try:
+        # block sizes divide L=256 (bq=256, m=128 after divisor adjustment)
+        loss_gqa, g_gqa = run("gqa")
+    finally:
+        gqa.INTERPRET = False
+    np.testing.assert_allclose(float(loss_ref), float(loss_gqa), rtol=2e-4)
+    for (ka, a), (kb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(g_ref),
+        jax.tree_util.tree_leaves_with_path(g_gqa),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4,
+            err_msg=str(ka),
+        )
