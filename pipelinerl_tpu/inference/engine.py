@@ -131,12 +131,21 @@ class EngineConfig:
     # in __init__ for the measured numbers.
     kv_layout: str = "auto"
     kv_block_size: int = 128  # tokens per page
-    # cross-request prefix reuse (paged only): finished transcripts'
-    # full pages are kept in a hash-keyed LRU cache so a later request
-    # extending them (turn N+1 of a conversation) reattaches the pages and
-    # prefills only the tail — the reference gets this from vLLM's prefix
-    # caching (SURVEY.md §2.4)
+    # cross-request prefix reuse — the role vLLM's prefix caching plays for
+    # the reference (SURVEY.md §2.4). Two implementations by layout:
+    # - paged: finished transcripts' full pages are kept in a hash-keyed
+    #   LRU cache; a later request extending them reattaches the pages and
+    #   prefills only the tail;
+    # - slab (the default layout): finished slots are PARKED in place —
+    #   the slot keeps its KV rows, a later request whose prompt extends
+    #   the parked transcript resumes the same slot and prefills only the
+    #   tail (forward_extend against the slab prefix). Parked slots are
+    #   evicted LRU whenever admission needs their capacity, so parking
+    #   never reduces peak concurrency.
     prefix_cache: bool = True
+    # minimum reusable prefix length for a slab park hit — shorter prefixes
+    # cost more in extra compile buckets than the prefill they save
+    slab_prefix_min_tokens: int = 32
     # pool size in pages; None sizes it to slab parity (S × ⌈max_len/page⌉) —
     # set smaller to cap KV memory or larger to admit more long-tail work
     kv_pool_blocks: int | None = None
@@ -204,6 +213,10 @@ class _Slot:
     # monotonically increasing slot-assignment id: guards pipelined windows
     # against delivering a previous occupant's tokens to a new request
     gen: int = 0
+    # stamp of the park entry created for this occupant at early-retire time
+    # (slab prefix reuse); lets the finishing window's sync upgrade the
+    # parked transcript to the full one iff the entry is still ours
+    park_stamp: int = -1
 
 
 @dataclass
@@ -337,6 +350,14 @@ class InferenceEngine:
             if self.mesh is not None:
                 self.k_cache = jax.device_put(self.k_cache, self._cache_sharding)
                 self.v_cache = jax.device_put(self.v_cache, self._cache_sharding)
+            self.prefix_cache = None
+            # slab cross-turn reuse: slot -> (transcript ids, lru stamp).
+            # Parked slots keep their KV rows; admission resumes them for
+            # prompts that extend the transcript, evicts them LRU otherwise.
+            self._parked: dict[int, tuple[list[int], int]] = {}
+            self._park_stamp = 0
+            self._slab_extend_fns: dict[tuple[int, int, int], Any] = {}
+            self.slab_prefix_hits = 0
         self.cache_lens = jnp.zeros((S,), jnp.int32)
 
         self._slots: list[_Slot | None] = [None] * S
@@ -1056,7 +1077,10 @@ class InferenceEngine:
                     ),
                 }
                 if self.paged
-                else {}
+                else {
+                    "prefix_cache_hits": self.slab_prefix_hits,
+                    "prefix_cache_parked_slots": len(self._parked),
+                }
             ),
         }
 
@@ -1139,6 +1163,10 @@ class InferenceEngine:
                 # reason as _finish_slot's release
                 self.block_pool.release(i)
                 self._slot_capacity[i] = 0
+            else:
+                # park the COMMITTED transcript (a true prefix of the final
+                # one — in-flight tokens are still unsynced)
+                self._maybe_park(i, s)
 
     def _maybe_swap_params(self) -> None:
         """Pointer-swap a fully-staged device tree (published either directly
@@ -1177,14 +1205,25 @@ class InferenceEngine:
         prompt KV; the siblings' slots are populated by an on-device cache
         fork plus independent first-token samples from the saved prefill
         logits — the prefix-caching win the reference gets from vLLM."""
-        free_slots = [i for i, s in enumerate(self._slots) if s is None]
-        if not free_slots:
+        parked = self._parked if not self.paged else {}
+        free_slots = [
+            i for i, s in enumerate(self._slots) if s is None and i not in parked
+        ]
+        if not free_slots and not parked:
             return False
         with self._queue_lock:
-            take = min(len(free_slots), len(self._queue))
+            # parked slots count toward capacity: a prefix hit resumes one
+            # in place, a miss evicts LRU — parking never reduces peak
+            # concurrency
+            take = min(len(free_slots) + len(parked), len(self._queue))
             pairs = [self._queue.popleft() for _ in range(take)]
         if not pairs:
             return False
+
+        def next_slot() -> int:
+            if free_slots:
+                return free_slots.pop(0)
+            return self._evict_parked(1)[0]
         if self.paged:
             # FIFO fit check against the page pool: admit the longest prefix
             # of the queue whose reservations (prompt + max_tokens + window,
@@ -1221,23 +1260,32 @@ class InferenceEngine:
                 pix = np.ascontiguousarray(pair[0].visual["pixel_values"])
                 key = key + ("#img", pix.shape, zlib.crc32(pix.tobytes()))
             clusters.setdefault(key, []).append(pair)
-        slot_iter = iter(free_slots)
         # group primaries by prefill bucket
         by_bucket: dict[int, list] = {}
         vlm_entries: list[list] = []
         extend_entries: list[tuple] = []
+        slab_extend_entries: list[tuple] = []
         for prompt, members in clusters.items():
-            primary_slot = next(slot_iter)
             request, future = members[0]
             n = len(request.prompt_ids)
             bucket = next(b for b in self.buckets if b >= n)
-            entry = [primary_slot, request, future, members[1:], [next(slot_iter) for _ in members[1:]]]
             if request.visual is not None:
+                entry = [next_slot(), request, future, members[1:],
+                         [next_slot() for _ in members[1:]]]
                 vlm_entries.append([bucket] + entry)
                 continue
             hit = None
+            slab_hit = None
             if self.paged and self.prefix_cache is not None:
                 hit = self.prefix_cache.lookup(request.prompt_ids)
+            elif not self.paged and self.cfg.prefix_cache:
+                slab_hit = self._park_lookup(request.prompt_ids)
+            if slab_hit is not None:
+                primary_slot, n_prefix = slab_hit
+            else:
+                primary_slot = next_slot()
+            entry = [primary_slot, request, future, members[1:],
+                     [next_slot() for _ in members[1:]]]
             if hit is not None:
                 pages, n_prefix = hit
                 tail_bucket = next(
@@ -1247,6 +1295,18 @@ class InferenceEngine:
                 while pb < len(pages):
                     pb <<= 1
                 extend_entries.append((entry, pages, n_prefix, tail_bucket, pb))
+            elif slab_hit is not None:
+                tail_bucket = next(b for b in self.buckets if b >= n - n_prefix)
+                pfx_bucket = next(b for b in self.buckets if b >= n_prefix)
+                if n_prefix + tail_bucket > self.k_cache.shape[2]:
+                    # no room for the padded tail write: cold re-prefill,
+                    # reusing the parked slot as an ordinary free one
+                    self.slab_prefix_hits -= 1
+                    by_bucket.setdefault(bucket, []).append(entry)
+                else:
+                    slab_extend_entries.append(
+                        (entry, n_prefix, tail_bucket, pfx_bucket)
+                    )
             else:
                 by_bucket.setdefault(bucket, []).append(entry)
         # batch extends that share (tail bucket, prefix-page bucket) — the
@@ -1263,6 +1323,20 @@ class InferenceEngine:
                         batch = b
                         break
                 self._prefill_extend(g[pos : pos + batch])
+                pos += batch
+        # slab extends batch the same way, keyed by (tail, prefix) buckets
+        slab_groups: dict[tuple, list] = {}
+        for item in slab_extend_entries:
+            slab_groups.setdefault((item[2], item[3]), []).append(item)
+        for g in slab_groups.values():
+            pos = 0
+            while pos < len(g):
+                batch = 1
+                for b in (8, 4, 2, 1):
+                    if b <= self.cfg.max_prefill_batch and pos + b <= len(g):
+                        batch = b
+                        break
+                self._prefill_extend_slab(g[pos : pos + batch])
                 pos += batch
         for bucket, *entry in vlm_entries:
             self._prefill_vlm(bucket, entry)
@@ -1500,6 +1574,80 @@ class InferenceEngine:
             jnp.asarray(top_ks),
         )
         for i, (entry, pages, n_prefix, _tb, _pb) in enumerate(group):
+            slot, request, future, siblings, sibling_slots = entry
+            self.total_prefill_tokens += int(tail_lens[i])
+            self.prefill_reused_tokens += n_prefix
+            max_new = min(
+                request.params.max_tokens, self.cfg.max_len - len(request.prompt_ids)
+            )
+            self._gen_counter += 1
+            self._pos_delta[slot] = 0
+            self._slots[slot] = _Slot(
+                request=request,
+                future=future,
+                version_start=self.version,
+                max_new_tokens=max_new,
+                pending_first=True,
+                gen=self._gen_counter,
+            )
+            if siblings:
+                self._fork_slots(slot, last_logits[i], siblings, sibling_slots)
+
+    def _prefill_extend_slab(self, group: list[tuple]) -> None:
+        """Resume parked slab slots whose transcripts the prompts extend,
+        BATCHED by (tail bucket, prefix bucket): gather the parked KV rows,
+        prefill only the tails against them, and write the tail K/V back at
+        the prefix offset — the slab analogue of the paged
+        ``_prefill_extend`` (the vLLM prefix-cache role, SURVEY.md §2.4)."""
+        B = len(group)
+        tail_bucket, pfx_bucket = group[0][2], group[0][3]
+        tails = np.zeros((B, tail_bucket), np.int32)
+        tail_lens = np.zeros(B, np.int32)
+        prefix_lens = np.zeros(B, np.int32)
+        slots_arr = np.zeros(B, np.int32)
+        temps = np.ones(B, np.float32)
+        top_ps = np.ones(B, np.float32)
+        top_ks = np.zeros(B, np.int32)
+        for i, (entry, n_prefix, _tb, _pb) in enumerate(group):
+            slot, request, future, siblings, sibling_slots = entry
+            tail = request.prompt_ids[n_prefix:]
+            tails[i, : len(tail)] = tail
+            tail_lens[i] = len(tail)
+            prefix_lens[i] = n_prefix
+            slots_arr[i] = slot
+            p = request.params
+            temps[i], top_ps[i], top_ks[i] = p.temperature, p.top_p, p.top_k
+        key = (tail_bucket, pfx_bucket, B)
+        fn = self._slab_extend_fns.get(key)
+        if fn is None:
+            fn = jax.jit(
+                partial(_prefill_extend_slab_fn, self.model_cfg, pfx_bucket),
+                donate_argnums=(1, 2, 3, 4),
+            )
+            self._slab_extend_fns[key] = fn
+        (
+            self.k_cache,
+            self.v_cache,
+            self.cache_lens,
+            self.first_info,
+            last_logits,
+            self._rng_device,
+        ) = fn(
+            self.params,
+            self.k_cache,
+            self.v_cache,
+            self.cache_lens,
+            self.first_info,
+            jnp.asarray(tails),
+            jnp.asarray(tail_lens),
+            jnp.asarray(prefix_lens),
+            jnp.asarray(slots_arr),
+            self._rng_device,
+            jnp.asarray(temps),
+            jnp.asarray(top_ps),
+            jnp.asarray(top_ks),
+        )
+        for i, (entry, n_prefix, _tb, _pb) in enumerate(group):
             slot, request, future, siblings, sibling_slots = entry
             self.total_prefill_tokens += int(tail_lens[i])
             self.prefill_reused_tokens += n_prefix
@@ -1769,6 +1917,57 @@ class InferenceEngine:
         except Exception:  # noqa: BLE001 — user callback must not kill the loop
             logger.exception("stream callback failed for %s", request.request_id)
 
+    def _maybe_park(self, slot: int, state: "_Slot") -> None:
+        """Slab cross-turn reuse: keep a finished slot's KV rows in place and
+        remember the transcript, so the conversation's next turn resumes the
+        slot and prefills only its tail. In-flight window writes past the
+        committed length land BEFORE any later extension prefill in device
+        program order (same argument as slot reallocation), so the parked
+        prefix rows are never torn."""
+        if not self.cfg.prefix_cache:
+            return
+        if state.request.visual is not None or self._pos_delta[slot] != 0:
+            return
+        # even a zero-generated-token transcript is reusable: the PROMPT
+        # rows are committed in the cache and are a prefix of the next turn
+        transcript_len = len(state.request.prompt_ids) + len(state.token_ids)
+        if (
+            transcript_len < self.cfg.slab_prefix_min_tokens
+            or transcript_len >= self.cfg.max_len
+        ):
+            return
+        self._park_stamp += 1
+        state.park_stamp = self._park_stamp
+        self._parked[slot] = (
+            state.request.prompt_ids + state.token_ids, self._park_stamp
+        )
+
+    def _park_lookup(self, prompt_ids: list[int]) -> tuple[int, int] | None:
+        """Longest parked transcript that is a proper prefix of the prompt →
+        (slot, n_prefix); the hit is removed from the parked set."""
+        best_slot, best_len = -1, 0
+        n = len(prompt_ids)
+        for slot, (transcript, _) in self._parked.items():
+            t = len(transcript)
+            if t >= n or t <= best_len or t < self.cfg.slab_prefix_min_tokens:
+                continue
+            if transcript == prompt_ids[:t]:
+                best_slot, best_len = slot, t
+        if best_slot < 0:
+            return None
+        del self._parked[best_slot]
+        self.slab_prefix_hits += 1
+        return best_slot, best_len
+
+    def _evict_parked(self, n: int) -> list[int]:
+        """Free the n least-recently-parked slots (their KV is abandoned)."""
+        by_age = sorted(self._parked.items(), key=lambda kv: kv[1][1])
+        freed = []
+        for slot, _ in by_age[:n]:
+            del self._parked[slot]
+            freed.append(slot)
+        return freed
+
     def _finish_slot(self, slot: int, finish: str) -> None:
         state = self._slots[slot]
         assert state is not None
@@ -1792,6 +1991,8 @@ class InferenceEngine:
             # (device program order) the new occupant's prefill
             self.block_pool.release(slot)
             self._slot_capacity[slot] = 0
+        else:
+            self._maybe_park(slot, state)
         self._notify(state.request, [], [], finish)
         state.future.set_result(
             GenResult(
@@ -2008,6 +2209,17 @@ class InferenceEngine:
         """Resolve an early-retired occupant's future at its finishing
         window's sync (the slot itself was freed at retire time)."""
         self._retiring.pop(key, None)
+        if not self.paged and state.park_stamp >= 0:
+            # upgrade the park entry (created with the committed-only
+            # transcript at retire time) to the FULL transcript, but only if
+            # the entry is still ours — the slot may have been evicted or
+            # re-parked by a later occupant meanwhile. The freshly-synced
+            # window wrote exactly these token rows into the cache.
+            cur = self._parked.get(key[0])
+            if cur is not None and cur[1] == state.park_stamp:
+                full = state.request.prompt_ids + state.token_ids
+                if len(full) < self.cfg.max_len:
+                    self._parked[key[0]] = (full, cur[1])
         self._notify(state.request, [], [], finish)
         state.future.set_result(
             GenResult(
@@ -2378,6 +2590,56 @@ def _prefill_extend_fn(
         first_info, last_logits, slots, rng, temperature, top_p, top_k
     )
     return k_pool, v_pool, cache_lens, first_info, last_logits, rng
+
+
+def _prefill_extend_slab_fn(
+    model_cfg: ModelConfig,
+    pfx_bucket: int,  # parked-prefix rows gathered per slot (static bucket)
+    params: dict,
+    k_cache: jnp.ndarray,  # [L, S, T_alloc, K, Dh]
+    v_cache: jnp.ndarray,
+    cache_lens: jnp.ndarray,  # [S]
+    first_info: jnp.ndarray,  # [S, 2]
+    tails: jnp.ndarray,  # [B, Tb]
+    tail_lens: jnp.ndarray,  # [B]
+    prefix_lens: jnp.ndarray,  # [B]
+    slots: jnp.ndarray,  # [B]
+    rng: jax.Array,
+    temperature: jnp.ndarray,  # [B]
+    top_p: jnp.ndarray,
+    top_k: jnp.ndarray,
+):
+    """Slab prefix-reuse prefill: gather each parked slot's cached rows,
+    run the tails through ``forward_extend`` (attention over
+    [prefix | tail]), write the tail K/V at ``prefix_len``, sample first
+    tokens. Turn N+1 of a conversation pays only for its new tokens. Tail
+    pad rows beyond ``tail_len`` hold pad-token K/V but sit at positions
+    >= the recorded cache length — decode overwrites them before any read."""
+    from ..models.transformer import forward_extend
+
+    B, Tb = tails.shape
+    k_pre = jnp.take(k_cache, slots, axis=1)[:, :, :pfx_bucket]
+    v_pre = jnp.take(v_cache, slots, axis=1)[:, :, :pfx_bucket]
+    positions = prefix_lens[:, None] + jnp.arange(Tb)[None, :]
+    normed, (k_tail, v_tail) = forward_extend(
+        params, model_cfg, tails, positions, k_pre, v_pre, prefix_lens,
+        skip_unembed=True,
+    )
+    last_logits = _prefill_last_logits(params, model_cfg, normed, tail_lens)
+    k_blk = k_tail.astype(k_cache.dtype)
+    v_blk = v_tail.astype(v_cache.dtype)
+    for b in range(B):  # B is static (8/4/2/1); contiguous row writes
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, k_blk[:, b : b + 1], (0, slots[b], prefix_lens[b], 0, 0)
+        )
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, v_blk[:, b : b + 1], (0, slots[b], prefix_lens[b], 0, 0)
+        )
+    cache_lens = cache_lens.at[slots].set(prefix_lens + tail_lens)
+    first_info, rng = _sample_first_tokens(
+        first_info, last_logits, slots, rng, temperature, top_p, top_k
+    )
+    return k_cache, v_cache, cache_lens, first_info, last_logits, rng
 
 
 def _fork_fn(
