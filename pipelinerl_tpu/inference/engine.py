@@ -115,8 +115,11 @@ class EngineConfig:
     # the transfer thread then sleeps so decode keeps >= the target duty.
     # Per-update decode loss equals the serial transfer time either way;
     # pacing amortizes it instead of letting the push starve for ~40x
-    # longer. Target <= 0 disables pacing (direct puts).
-    push_pace_chunk_bytes: int = 64 << 20
+    # longer. Target <= 0 disables pacing (direct puts). 128 MB chunks
+    # engage the 4-way parallel sub-stream put (see _gated_put) — ~2x on
+    # per-stream-throttled links — while a single gated decode stall stays
+    # ~13 ms on production PCIe DMA.
+    push_pace_chunk_bytes: int = 128 << 20
     push_utilization_target: float = 0.9
     # KV layout: "slab" reserves a contiguous [S, max_len] cache per slot;
     # "paged" allocates fixed-size pages from a shared pool (the vLLM paged
@@ -822,13 +825,15 @@ class InferenceEngine:
 
     def _paced_put_span(
         self, body: bytes, dt: np.dtype, base_byte: int,
-        elem_lo: int, elem_hi: int,
+        elem_lo: int, elem_hi: int, progress_cb=None,
     ) -> tuple[Any, float]:
         """Transfer elements [elem_lo, elem_hi) of a dtype run as a series
         of paced sub-puts bounded by push_pace_chunk_bytes each (so no
         single decode stall exceeds one sub-chunk even for a 1 GB embed
         table), concatenated on-device into one 1-D run. Returns
-        (device run, total stall seconds)."""
+        (device run, total stall seconds). ``progress_cb(bytes, stall_s)``
+        fires after EVERY sub-put so a long span (an atomic push moves a
+        whole dtype group in one span) stays observable mid-flight."""
         sub_elems = max(1, int(self.cfg.push_pace_chunk_bytes) // dt.itemsize)
         parts = []
         stall_total = 0.0
@@ -841,6 +846,8 @@ class InferenceEngine:
             dev, stall = self._gated_put(view)
             parts.append(dev)
             stall_total += stall
+            if progress_cb is not None:
+                progress_cb((hi - lo) * dt.itemsize, stall)
             lo = hi
         if len(parts) == 1:
             return parts[0], stall_total
@@ -870,6 +877,21 @@ class InferenceEngine:
         bytes_done = 0
         staged_flat: dict = {}
         vision_flat: dict = {}
+
+        def _progress(nbytes: int, stall: float) -> None:
+            # visible after every sub-put — a paced push on a slow link can
+            # span minutes; zeros until completion are useless
+            nonlocal bytes_done, stall_total
+            bytes_done += nbytes
+            stall_total += stall
+            self.last_push_timings = {
+                "transfer_s": time.monotonic() - t0,
+                "stall_s": stall_total,
+                "bytes_done": bytes_done,
+                "bytes": total,
+                "in_progress": True,
+                "mode": "blob" if atomic else "blob-chunked",
+            }
         for g in groups:
             dt = _dtype_from_name(g["dtype"])
             g_specs = [s for s in specs if s[1] == g["dtype"]]
@@ -896,21 +918,10 @@ class InferenceEngine:
             for chunk in chunks:
                 lo = min(s[3] for s in chunk)
                 hi = max(s[3] + s[4] for s in chunk)
-                run, stall = self._paced_put_span(
-                    body, dt, base + int(g["byte_offset"]), lo, hi
+                run, _ = self._paced_put_span(
+                    body, dt, base + int(g["byte_offset"]), lo, hi,
+                    progress_cb=_progress,
                 )
-                stall_total += stall
-                bytes_done += (hi - lo) * dt.itemsize
-                # progress is visible mid-push (a paced push on a slow link
-                # can span minutes; zeros until completion are useless)
-                self.last_push_timings = {
-                    "transfer_s": time.monotonic() - t0,
-                    "stall_s": stall_total,
-                    "bytes_done": bytes_done,
-                    "bytes": total,
-                    "in_progress": True,
-                    "mode": "blob" if atomic else "blob-chunked",
-                }
                 rebased = [
                     (name, dtn, shape, off - lo, count)
                     for name, dtn, shape, off, count in chunk
