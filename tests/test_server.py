@@ -142,3 +142,25 @@ def test_streaming_chat_completions(served_engine):
     assert len(logprobs) == len(token_ids)
     assert all(np.isfinite(lp) and lp <= 0 for lp in logprobs)
     assert text == tokenizer.decode(token_ids, skip_special_tokens=True)
+
+
+def test_tool_close_boundary_truncates_exactly():
+    """The SSE tool-call early-stop must cut the token stream at the token
+    whose decode completes </tool_call> — dispatched-but-unsynced window
+    tokens past the tag never reach clients or training samples."""
+    from pipelinerl_tpu.inference.server import _tool_close_boundary
+    from pipelinerl_tpu.models.toy_tokenizer import ToyTokenizer
+
+    tok = ToyTokenizer()
+    ids = tok.encode('x<tool_call>{"name":"f"}</tool_call> spurious tail')
+    b = _tool_close_boundary(tok, ids, 1)
+    assert tok.decode(ids[:b]).endswith("</tool_call>")
+    assert "spurious" not in tok.decode(ids[:b])
+    # a second call: boundary covers both tags
+    ids2 = ids + tok.encode('<tool_call>{"name":"g"}</tool_call>xx')
+    b2 = _tool_close_boundary(tok, ids2, 2)
+    assert tok.decode(ids2[:b2]).count("</tool_call>") == 2
+    assert not tok.decode(ids2[:b2]).endswith("xx")
+    # tags not present in the decode: keep everything (defensive)
+    plain = tok.encode("no tags here")
+    assert _tool_close_boundary(tok, plain, 1) == len(plain)
