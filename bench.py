@@ -398,6 +398,10 @@ def bench_engine(params, model_cfg, param_bytes, n_params) -> dict:
         push_http_stall_s=round(timings.get("stall_s", 0.0), 2),
         push_http_span_s=round(push_elapsed, 2),
         push_http_completed=push_completed,
+        push_http_bytes_frac=round(
+            timings.get("bytes_done", timings.get("bytes", 0))
+            / max(timings.get("bytes", 1), 1), 3,
+        ),
         pushes_completed=pc["pushes_completed"],
         pushes_superseded=pc["pushes_superseded"],
         **({"push_span_vs_update_interval": pc["push_span_vs_update_interval"]}

@@ -121,6 +121,12 @@ class EngineConfig:
     # ~13 ms on production PCIe DMA.
     push_pace_chunk_bytes: int = 128 << 20
     push_utilization_target: float = 0.9
+    # bounded staleness: pace at the duty target only until a push has been
+    # in flight this long, then finish at full link speed (duty degrades
+    # instead of staleness growing without bound — on a healthy link the
+    # paced span never reaches this, on a degraded one the engine still
+    # converges to the new weights). <= 0 disables the deadline.
+    push_max_span_s: float = 120.0
     # KV layout: "slab" reserves a contiguous [S, max_len] cache per slot;
     # "paged" allocates fixed-size pages from a shared pool (the vLLM paged
     # attention role, SURVEY.md §2.4) — HBM holds only tokens that exist,
@@ -288,6 +294,8 @@ class InferenceEngine:
         self._transfer_gate_request = threading.Event()
         self._transfer_gate_open = threading.Event()
         self._transfer_chunk_done = threading.Event()
+        # wall deadline of the in-flight push's paced phase (push_max_span_s)
+        self._push_pace_deadline = float("inf")
 
         S, T = cfg.max_slots, cfg.max_len
         L = model_cfg.num_layers
@@ -816,10 +824,10 @@ class InferenceEngine:
                 host_view.nbytes >> 20, stall,
                 host_view.nbytes / max(stall, 1e-9) / 1e9, gated, opened,
             )
-        if opened and target < 1.0:
+        if opened and target < 1.0 and time.monotonic() < self._push_pace_deadline:
             # decode runs during this sleep; duty = decode/(decode+stall).
-            # The cap bounds propagation delay when the link crawls — duty
-            # degrades before latency becomes unbounded.
+            # Past push_max_span_s the sleeps stop entirely: duty degrades
+            # to the serial floor instead of staleness growing unbounded.
             time.sleep(min(stall * target / (1.0 - target), 30.0))
         return dev, stall
 
@@ -873,6 +881,8 @@ class InferenceEngine:
         total = sum(count * itemsize[dt] for _, dt, _, _, count in specs)
         atomic = total <= self.cfg.push_double_buffer_max_bytes
         t0 = time.monotonic()
+        if self.cfg.push_max_span_s > 0:
+            self._push_pace_deadline = t0 + self.cfg.push_max_span_s
         stall_total = 0.0
         bytes_done = 0
         staged_flat: dict = {}
