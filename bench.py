@@ -372,7 +372,7 @@ def bench_engine(params, model_cfg, param_bytes, n_params) -> dict:
     t0 = time.monotonic()
     th = threading.Thread(target=pusher)
     th.start()
-    deadline = t0 + float(os.environ.get("BENCH_PUSH_WINDOW_S", 150))
+    deadline = t0 + float(os.environ.get("BENCH_PUSH_WINDOW_S", 180))
     while (th.is_alive() or engine.version != 7) and time.monotonic() < deadline:
         step_saturated()
     push_elapsed = time.monotonic() - t0
@@ -970,7 +970,7 @@ def bench_7b_smoke() -> dict:
     t0 = time.monotonic()
     th = threading.Thread(target=pusher)
     th.start()
-    deadline = t0 + float(os.environ.get("BENCH_PUSH_WINDOW_S", 150))
+    deadline = t0 + float(os.environ.get("BENCH_PUSH_WINDOW_S", 180))
     while (th.is_alive() or engine.version != 3) and time.monotonic() < deadline:
         step_saturated()
     push_elapsed = time.monotonic() - t0
