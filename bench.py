@@ -1197,7 +1197,11 @@ def main() -> None:
 
     run_section("multiturn", lambda: bench_multiturn(params, model_cfg),
                 min_budget_s=90)
-    if not fast:
+    # paged/longctx are comparison points, not headline evidence — skip them
+    # when running both would starve the 7B real-weights section (an aged
+    # tunnel loads the 15.2 GB checkpoint at ~0.04 GB/s ≈ 400 s)
+    want_7b = os.environ.get("BENCH_7B", "1") != "0"
+    if not fast and (not want_7b or remaining_s() > 700):
         run_section("paged", lambda: bench_paged(params, model_cfg), min_budget_s=60)
         run_section("longctx", lambda: bench_long_context(params, model_cfg),
                     min_budget_s=60)
