@@ -928,10 +928,17 @@ def bench_7b_smoke() -> dict:
 
     # 7B-sized in-flight push (round-3 verdict #1 asked for this number):
     # ~15 GB wire body shipped in bounded blob chunks while bs8 decode runs.
-    # Serializing the body is a 15 GB D2H pass — skip the whole push when
-    # the remaining budget cannot fit it (the decode keys above are safe).
-    if remaining_s() < float(os.environ.get("BENCH_7B_PUSH_MIN_S", 260)):
-        log(f"[budget] skipping 7B push: {remaining_s():.0f}s left")
+    # Serializing the body is a 15 GB D2H pass at roughly the probed link
+    # rate (the round-5 rehearsal measured 809 s at a collapsed 0.01 GB/s
+    # link) — skip the whole push when serialize + window cannot fit the
+    # remaining budget (the decode keys above are already emitted).
+    probe_gbps = float(out.get("b7_h2d_probe_gbps", 0.0)) or 0.3
+    projected_push_s = 15.2 / max(probe_gbps, 1e-3) + 200
+    if remaining_s() < max(
+        projected_push_s, float(os.environ.get("BENCH_7B_PUSH_MIN_S", 260))
+    ):
+        log(f"[budget] skipping 7B push: projected {projected_push_s:.0f}s "
+            f"(link {probe_gbps:.2f} GB/s), {remaining_s():.0f}s left")
         engine.stop()
         del engine, params7
         out["b7_push_skipped"] = True

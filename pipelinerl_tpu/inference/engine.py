@@ -773,12 +773,20 @@ class InferenceEngine:
     def _has_device_work(self) -> bool:
         return bool(self._windows) or any(s is not None for s in self._slots)
 
-    def _gated_put(self, host_view: np.ndarray) -> tuple[Any, float]:
+    def _gated_put(
+        self, host_view: np.ndarray, and_then=None
+    ) -> tuple[Any, float]:
         """Stage one chunk through the cooperative gate: ask the scheduling
         thread for a slot (it drains its window queue so the put runs at
         full link speed), transfer, release, then sleep so decode keeps
         >= push_utilization_target duty. Idle engines (or target <= 0) put
-        directly. Returns (device array, stall seconds)."""
+        directly. Returns (device array, stall seconds).
+
+        ``and_then(dev, engine_parked)`` consumes the staged array BEFORE
+        the gate releases; ``engine_parked`` is True when the scheduling
+        thread is provably blocked in _serve_transfer_gate for this chunk,
+        which makes donating live param buffers race-free (no dispatch can
+        read a just-invalidated leaf)."""
         target = float(self.cfg.push_utilization_target)
         gated = target > 0 and self._has_device_work()
         opened = False
@@ -814,6 +822,9 @@ class InferenceEngine:
         else:
             dev = jax.device_put(host_view)
             dev.block_until_ready()
+        if and_then is not None:
+            and_then(dev, gated and opened)
+            dev = None
         stall = time.monotonic() - t0
         if gated:
             self._transfer_gate_request.clear()
@@ -834,6 +845,7 @@ class InferenceEngine:
     def _paced_put_span(
         self, body: bytes, dt: np.dtype, base_byte: int,
         elem_lo: int, elem_hi: int, progress_cb=None,
+        row_splice=None, align_elems: int = 1,
     ) -> tuple[Any, float]:
         """Transfer elements [elem_lo, elem_hi) of a dtype run as a series
         of paced sub-puts bounded by push_pace_chunk_bytes each (so no
@@ -841,8 +853,17 @@ class InferenceEngine:
         table), concatenated on-device into one 1-D run. Returns
         (device run, total stall seconds). ``progress_cb(bytes, stall_s)``
         fires after EVERY sub-put so a long span (an atomic push moves a
-        whole dtype group in one span) stays observable mid-flight."""
+        whole dtype group in one span) stays observable mid-flight.
+
+        ``row_splice(dev_part, rel_elem_offset, parked)`` switches to
+        streaming consumption: each sub-put is handed off immediately
+        (bounding extra HBM to ONE pace chunk — a 15 GB push cannot afford
+        a whole-tensor concat transient next to resident weights) and the
+        return value is (None, stall). ``align_elems`` rounds the sub-put
+        size down to a multiple (tensor rows must not split)."""
         sub_elems = max(1, int(self.cfg.push_pace_chunk_bytes) // dt.itemsize)
+        if align_elems > 1:
+            sub_elems = max(align_elems, (sub_elems // align_elems) * align_elems)
         parts = []
         stall_total = 0.0
         lo = elem_lo
@@ -851,12 +872,20 @@ class InferenceEngine:
             view = np.frombuffer(
                 body, dt, count=hi - lo, offset=base_byte + lo * dt.itemsize
             )
-            dev, stall = self._gated_put(view)
-            parts.append(dev)
+            if row_splice is not None:
+                consumer = partial(row_splice, rel_offset=lo - elem_lo)
+                _, stall = self._gated_put(
+                    view, and_then=lambda d, parked, c=consumer: c(d, parked)
+                )
+            else:
+                dev, stall = self._gated_put(view)
+                parts.append(dev)
             stall_total += stall
             if progress_cb is not None:
                 progress_cb((hi - lo) * dt.itemsize, stall)
             lo = hi
+        if row_splice is not None:
+            return None, stall_total
         if len(parts) == 1:
             return parts[0], stall_total
         run = jnp.concatenate(parts)
@@ -928,6 +957,24 @@ class InferenceEngine:
             for chunk in chunks:
                 lo = min(s[3] for s in chunk)
                 hi = max(s[3] + s[4] for s in chunk)
+                if (
+                    not atomic
+                    and len(chunk) == 1
+                    and (hi - lo) * dt.itemsize
+                    > int(self.cfg.push_stream_chunk_bytes)
+                ):
+                    # a single tensor larger than the stream budget (the 7B
+                    # embed/lm_head are ~1.1 GB each): stream it ROW-WISE,
+                    # splicing every paced sub-put straight into the live
+                    # leaf — a whole-tensor concat transient next to ~15 GB
+                    # of resident weights is exactly an OOM (round-5
+                    # rehearsal: ResourceExhausted at this spot)
+                    if self._stream_rows_inplace(
+                        body, dt, base + int(g["byte_offset"]), chunk[0],
+                        _progress,
+                    ):
+                        return  # superseded
+                    continue
                 run, _ = self._paced_put_span(
                     body, dt, base + int(g["byte_offset"]), lo, hi,
                     progress_cb=_progress,
@@ -1024,6 +1071,70 @@ class InferenceEngine:
             if version > self.version:
                 self.version = version
         return False
+
+    def _stream_rows_inplace(
+        self, body: bytes, dt: np.dtype, group_base: int, spec: tuple,
+        progress_cb,
+    ) -> bool:
+        """Stream ONE oversized tensor into the live tree row-range by
+        row-range (leaf-streamed pushes, e.g. 7B on a 16 GB chip). Each
+        paced sub-put is spliced at its row offset; when the engine thread
+        is parked in the transfer gate the splice donates the old leaf
+        (true in-place update, no 2x transient) — otherwise it falls back
+        to a copying update. Returns True if superseded by a newer push."""
+        from .weight_transfer import flatten_params, unflatten_params
+
+        name, dtype_name, shape, elem_off, count = spec
+        row_elems = int(np.prod(shape[1:])) if len(shape) > 1 else 1
+        superseded = [False]
+
+        def splice(dev_part, parked, rel_offset=0):
+            if superseded[0]:
+                return
+            r = rel_offset // row_elems
+            rr = dev_part.size // row_elems
+            part = dev_part.reshape((rr,) + tuple(shape[1:]))
+            with self._params_lock:
+                if self._pending_params is not None:
+                    superseded[0] = True
+                    return
+                live = dict(flatten_params(self.params))
+                leaf = live.get(name)
+                if leaf is None or tuple(leaf.shape) != tuple(shape):
+                    superseded[0] = True
+                    return
+                fn = self._row_splicer_for(
+                    tuple(shape), rr, str(leaf.dtype), donate=parked
+                )
+                live[name] = fn(leaf, part.astype(leaf.dtype), r)
+                self.params = unflatten_params(live)
+
+        self._paced_put_span(
+            body, dt, group_base, elem_off, elem_off + count,
+            progress_cb=progress_cb, row_splice=splice, align_elems=row_elems,
+        )
+        if superseded[0]:
+            return True
+        return self._should_yield_to_newer()
+
+    def _row_splicer_for(self, shape: tuple, rr: int, dtype: str, donate: bool):
+        """Jitted row-range update, cached per layout. With ``donate`` the
+        old leaf's buffer is reused in place — only safe while the engine
+        thread is parked in the transfer gate (it cannot dispatch with the
+        invalidated array)."""
+        key = ("rowsplice", shape, rr, dtype, donate)
+        fn = self._slicer_cache.get(key)
+        if fn is None:
+            nd = len(shape)
+
+            def f(full, part, r):
+                return jax.lax.dynamic_update_slice(
+                    full, part, (r,) + (0,) * (nd - 1)
+                )
+
+            fn = jax.jit(f, donate_argnums=(0,) if donate else ())
+            self._slicer_cache[key] = fn
+        return fn
 
     def score_tokens(self, input_ids: Sequence[int], temperature: float = 1.0) -> list[float]:
         """Teacher-forced per-token logprobs (positions 1..n-1) under the

@@ -388,3 +388,38 @@ def test_sustained_supersede_still_completes(tiny_params):
     )
     assert engine.push_counters()["pushes_completed"] >= v // 3
     engine.stop()
+
+
+def test_oversized_tensor_row_streaming(tiny_params):
+    """Tensors larger than the stream budget splice row-ranges into the
+    live leaf (the 7B embed path — a whole-tensor concat transient next to
+    near-full HBM is an OOM). The completed push must be bit-exact."""
+    import time
+
+    from pipelinerl_tpu.inference import EngineConfig, InferenceEngine
+
+    params, cfg = tiny_params
+    engine = InferenceEngine(
+        params, cfg,
+        EngineConfig(
+            max_slots=2, max_len=32, prefill_buckets=(16,),
+            cache_dtype=jnp.float32,
+            push_double_buffer_max_bytes=1024,   # force the streamed path
+            push_stream_chunk_bytes=2048,        # embed [32,32] f32 = 4 KB
+            push_pace_chunk_bytes=1024,
+        ),
+        eos_token_id=0,
+    )
+    new_params = jax.tree.map(lambda x: (x * 1.25 + 0.01).astype(x.dtype), params)
+    engine.update_params_serialized(serialize_params(new_params, version=3))
+    deadline = time.monotonic() + 60
+    while engine.version != 3 and time.monotonic() < deadline:
+        engine.step()
+        time.sleep(0.002)
+    assert engine.version == 3
+    got = dict(flatten_params(engine.params))
+    for k, w in flatten_params(new_params):
+        np.testing.assert_array_equal(
+            np.asarray(got[k]), np.asarray(w), err_msg=k
+        )
+    engine.stop()
