@@ -1178,7 +1178,7 @@ def main() -> None:
         out = {}
         # gqa = what TrainerLoop's attn_impl=auto picks at seq_length>=2048
         # on TPU (the GQA-folded Pallas kernel, ops/gqa_attention.py)
-        impl = "gqa" if jax.default_backend() not in ("cpu", "gpu") else "blockwise"
+        impl = "gqa" if jax.devices()[0].platform == "tpu" else "blockwise"
         tok, mfu = bench_train_step(
             params, model_cfg, n_params,
             int(os.environ.get("BENCH_TRAIN_SEQLEN", 4096)), impl, "4k",

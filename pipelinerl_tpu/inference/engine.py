@@ -799,26 +799,9 @@ class InferenceEngine:
         t0 = time.monotonic()
         n = host_view.shape[0]
         if host_view.nbytes > (64 << 20):
-            # parallel sub-streams: on link stacks that throttle per-stream
-            # (the aged dev tunnel: 0.17 GB/s serial vs ~2x with 4 streams,
-            # round-4 probe) splitting one put across threads is free wins;
-            # on healthy PCIe DMA it is harmless
-            k = 4
-            bounds = [(i * n // k, (i + 1) * n // k) for i in range(k)]
-            parts: list = [None] * k
-            def _put(idx, lo, hi):
-                parts[idx] = jax.device_put(host_view[lo:hi])
-                parts[idx].block_until_ready()
-            threads = [
-                threading.Thread(target=_put, args=(i, lo, hi))
-                for i, (lo, hi) in enumerate(bounds)
-            ]
-            for t in threads:
-                t.start()
-            for t in threads:
-                t.join()
-            dev = jnp.concatenate(parts)
-            dev.block_until_ready()
+            from .weight_transfer import parallel_device_put
+
+            dev = parallel_device_put(host_view)
         else:
             dev = jax.device_put(host_view)
             dev.block_until_ready()
@@ -845,7 +828,7 @@ class InferenceEngine:
     def _paced_put_span(
         self, body: bytes, dt: np.dtype, base_byte: int,
         elem_lo: int, elem_hi: int, progress_cb=None,
-        row_splice=None, align_elems: int = 1,
+        row_splice=None, align_elems: int = 1, should_stop=None,
     ) -> tuple[Any, float]:
         """Transfer elements [elem_lo, elem_hi) of a dtype run as a series
         of paced sub-puts bounded by push_pace_chunk_bytes each (so no
@@ -868,6 +851,8 @@ class InferenceEngine:
         stall_total = 0.0
         lo = elem_lo
         while lo < elem_hi:
+            if should_stop is not None and should_stop():
+                break  # superseded mid-span: stop paying for discarded bytes
             hi = min(lo + sub_elems, elem_hi)
             view = np.frombuffer(
                 body, dt, count=hi - lo, offset=base_byte + lo * dt.itemsize
@@ -1112,6 +1097,7 @@ class InferenceEngine:
         self._paced_put_span(
             body, dt, group_base, elem_off, elem_off + count,
             progress_cb=progress_cb, row_splice=splice, align_elems=row_elems,
+            should_stop=lambda: superseded[0],
         )
         if superseded[0]:
             return True
@@ -1248,7 +1234,17 @@ class InferenceEngine:
             self._process_window(self._windows.popleft())
         self._transfer_chunk_done.clear()
         self._transfer_gate_open.set()
-        self._transfer_chunk_done.wait(timeout=60)
+        # stay parked for as long as the transfer thread is genuinely
+        # working on the chunk: the row-streamed push donates live param
+        # buffers on the premise that no decode dispatch can run here, so a
+        # fixed timeout (a 128 MB chunk on a collapsed link can exceed any
+        # constant) would break that premise. The liveness escape hatches
+        # are a dead transfer thread or a cleared gate request.
+        while not self._transfer_chunk_done.wait(timeout=5):
+            if self._transfer_thread is None or not self._transfer_thread.is_alive():
+                break
+            if not self._transfer_gate_request.is_set():
+                break
         self._transfer_gate_open.clear()
 
     def _retire_exhausted(self) -> None:
@@ -1315,9 +1311,13 @@ class InferenceEngine:
             pending_vision = self._pending_vision
             self._pending_params = None
             self._pending_vision = None
-            if pending is not None and pending[1] >= self.version:
+            # a stale pair (published after a newer push already applied)
+            # drops TOGETHER: installing only its vision tower would leave
+            # mixed-version weights serving indefinitely
+            stale = pending is not None and pending[1] < self.version
+            if pending is not None and not stale:
                 self.params, self.version = pending
-            if pending_vision is not None:
+            if pending_vision is not None and not stale:
                 self.vision_params = pending_vision
 
     def _next_rng(self) -> jax.Array:
@@ -2060,19 +2060,23 @@ class InferenceEngine:
             return
         if state.request.visual is not None or self._pos_delta[slot] != 0:
             return
-        # even a zero-generated-token transcript is reusable: the PROMPT
-        # rows are committed in the cache and are a prefix of the next turn
-        transcript_len = len(state.request.prompt_ids) + len(state.token_ids)
+        # A token's KV row is written only when the token is FED as a later
+        # decode step's input; the FINAL sampled token (stop token, budget
+        # cap on a window boundary, abort point) may never be fed, so its
+        # row can be garbage. Park the transcript MINUS that last token —
+        # every earlier token was the input of the step that sampled its
+        # successor (and the whole prompt was written by prefill), so all
+        # parked rows are guaranteed committed. Costs one extra prefilled
+        # token per resumed turn.
+        transcript = state.request.prompt_ids + state.token_ids[:-1]
         if (
-            transcript_len < self.cfg.slab_prefix_min_tokens
-            or transcript_len >= self.cfg.max_len
+            len(transcript) < self.cfg.slab_prefix_min_tokens
+            or len(transcript) >= self.cfg.max_len
         ):
             return
         self._park_stamp += 1
         state.park_stamp = self._park_stamp
-        self._parked[slot] = (
-            state.request.prompt_ids + state.token_ids, self._park_stamp
-        )
+        self._parked[slot] = (transcript, self._park_stamp)
 
     def _park_lookup(self, prompt_ids: list[int]) -> tuple[int, int] | None:
         """Longest parked transcript that is a proper prefix of the prompt →
@@ -2343,14 +2347,15 @@ class InferenceEngine:
         self._retiring.pop(key, None)
         if not self.paged and state.park_stamp >= 0:
             # upgrade the park entry (created with the committed-only
-            # transcript at retire time) to the FULL transcript, but only if
-            # the entry is still ours — the slot may have been evicted or
-            # re-parked by a later occupant meanwhile. The freshly-synced
-            # window wrote exactly these token rows into the cache.
+            # transcript at retire time) to the full transcript MINUS the
+            # final token (its KV row may never be written — it is only
+            # written when fed as a later step's input), but only if the
+            # entry is still ours — the slot may have been evicted or
+            # re-parked by a later occupant meanwhile.
             cur = self._parked.get(key[0])
             if cur is not None and cur[1] == state.park_stamp:
-                full = state.request.prompt_ids + state.token_ids
-                if len(full) < self.cfg.max_len:
+                full = state.request.prompt_ids + state.token_ids[:-1]
+                if self.cfg.slab_prefix_min_tokens <= len(full) < self.cfg.max_len:
                     self._parked[key[0]] = (full, cur[1])
         self._notify(state.request, [], [], finish)
         state.future.set_result(

@@ -242,6 +242,14 @@ class InferenceServer:
                         content, new_calls = tool_parser.feed(delta_text)
                         delta = {"content": content} if content else {}
                         if new_calls:
+                            # the parser releases text AFTER the closing tag
+                            # as plain content; generation stops at the tag,
+                            # so that tail must not reach clients as TEXT any
+                            # more than as tokens
+                            tail_txt = delta_text.rsplit("</tool_call>", 1)[-1]
+                            if tail_txt and content.endswith(tail_txt):
+                                content = content[: -len(tail_txt)]
+                                delta = {"content": content} if content else {}
                             delta["tool_calls"] = [
                                 {"index": i, **c.to_dict()}
                                 for i, c in enumerate(
@@ -315,6 +323,9 @@ class InferenceServer:
                             await resp.write(chunk_payload({"content": tail}, None))
                         if tool_parser.calls:
                             finish = "tool_calls"
+                    # usage counts the STREAMED ids (== engine result for
+                    # normal finishes; the truncated count when a tool call
+                    # closed in the same callback that carried finish)
                     await resp.write(
                         chunk_payload(
                             {},
@@ -322,9 +333,9 @@ class InferenceServer:
                             {
                                 "usage": {
                                     "prompt_tokens": result.prompt_tokens,
-                                    "completion_tokens": len(result.token_ids),
+                                    "completion_tokens": len(all_ids),
                                     "total_tokens": result.prompt_tokens
-                                    + len(result.token_ids),
+                                    + len(all_ids),
                                 },
                                 "model_version": result.model_version_start,
                             },

@@ -152,37 +152,6 @@ class _LazyTensors:
         return h.get_tensor(raw_name)
 
 
-def _parallel_put(x: np.ndarray, streams: int = 4):
-    """Host→device transfer of a large array as ``streams`` concurrent
-    sub-puts concatenated on device. On link stacks that throttle a single
-    stream (the tunneled dev chip ages to ~0.04 GB/s serial; ~2x with four
-    streams — round-4/5 probes) this halves multi-GB checkpoint loads; on
-    healthy PCIe DMA it is harmless."""
-    import threading
-
-    import jax
-
-    n = x.shape[0]
-    if n < streams:
-        return jnp.asarray(x)
-    bounds = [(i * n // streams, (i + 1) * n // streams) for i in range(streams)]
-    parts: list = [None] * streams
-
-    def put(i: int, lo: int, hi: int) -> None:
-        parts[i] = jax.device_put(x[lo:hi])
-        parts[i].block_until_ready()
-
-    threads = [
-        threading.Thread(target=put, args=(i, lo, hi))
-        for i, (lo, hi) in enumerate(bounds)
-    ]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-    return jnp.concatenate(parts, axis=0)
-
-
 def load_hf_model(
     model_dir: str | Path, dtype: Any = jnp.bfloat16
 ) -> tuple[dict, ModelConfig]:
@@ -201,7 +170,9 @@ def load_hf_model(
         # numpy framework returns them via a uint16 view fallback in older
         # versions; current versions use ml_dtypes bfloat16) — jnp handles it.
         if x.nbytes > (128 << 20):
-            return _parallel_put(x).astype(dtype)
+            from ..inference.weight_transfer import parallel_device_put
+
+            return parallel_device_put(x).astype(dtype)
         return jnp.asarray(x).astype(dtype)
 
     def get(name: str) -> np.ndarray:

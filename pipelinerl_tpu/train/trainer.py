@@ -267,7 +267,11 @@ class TrainerLoop:
             # interpret mode there. Short rows stay on the XLA path.
             import jax as _jax
 
-            on_tpu = _jax.default_backend() not in ("cpu", "gpu")
+            # platform of the actual device, not the backend-plugin name
+            # (the tunneled dev chip registers as plugin "axon" but its
+            # devices report platform "tpu"; unknown non-TPU platforms must
+            # not select a Mosaic kernel)
+            on_tpu = _jax.devices()[0].platform == "tpu"
             if cp > 1:
                 attn_impl = "cp"
             elif seq_length >= 2048:

@@ -148,3 +148,35 @@ def test_multiturn_lineages_batch(setup):
     counters = engine.perf_counters()
     assert counters["prefix_cache_hits"] == 3
     engine.stop()
+
+
+def test_resume_token_exact_at_window_boundary(setup):
+    """max_tokens = 1 + k*W lands the final token exactly on a window
+    boundary — that token's KV row is never written (it is only written
+    when fed as a later step's input). Parking must exclude it, or the
+    resumed turn attends over a garbage row and silently diverges
+    (code-review finding, round 5)."""
+    params, cfg = setup
+    rng = np.random.default_rng(7)
+    base = rng.integers(1, 120, 40).tolist()
+
+    def two_turns(prefix_cache):
+        eng = _engine(params, cfg, prefix_cache=prefix_cache)
+        # decode_window=4 in _engine; max_tokens=9 = 1 prefill-sampled + 2*4
+        f1 = eng.submit(GenRequest(prompt_ids=list(base), params=_greedy(9)))
+        _drain(eng, [f1])
+        t2 = base + f1.result().token_ids + rng.integers(1, 120, 10).tolist()
+        f2 = eng.submit(GenRequest(prompt_ids=list(t2), params=_greedy(9)))
+        _drain(eng, [f2])
+        out = (f1.result().token_ids, f2.result().token_ids)
+        hits = eng.slab_prefix_hits
+        eng.stop()
+        return out, hits
+
+    rng = np.random.default_rng(7)
+    (cold1, cold2), _ = two_turns(False)
+    rng = np.random.default_rng(7)
+    (warm1, warm2), hits = two_turns(True)
+    assert warm1 == cold1
+    assert hits == 1
+    assert warm2 == cold2, "resumed turn diverged (unwritten final-token row?)"
