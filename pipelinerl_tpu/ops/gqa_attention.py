@@ -480,7 +480,11 @@ def _bwd_call(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+# q_offset is a REGULAR (non-diff-by-returning-None) argument, not a
+# nondiff_argnum: under shard_map the context-parallel wrapper passes a
+# traced axis_index-derived offset, which custom_vjp forbids in
+# nondiff_argnums (same layout as mha_packed_blockwise)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
 def _gqa_attention(q5, k, v, q_segment_ids, kv_segment_ids, q_offset, scale, bq, m_blk):
     out, _ = _fwd_call(
         q5, k, v, q_segment_ids, kv_segment_ids, q_offset, scale, bq, m_blk
@@ -492,16 +496,16 @@ def _gqa_fwd_rule(q5, k, v, q_segment_ids, kv_segment_ids, q_offset, scale, bq, 
     out, lse = _fwd_call(
         q5, k, v, q_segment_ids, kv_segment_ids, q_offset, scale, bq, m_blk
     )
-    return out, (q5, k, v, q_segment_ids, kv_segment_ids, out, lse)
+    return out, (q5, k, v, q_segment_ids, kv_segment_ids, q_offset, out, lse)
 
 
-def _gqa_bwd_rule(q_offset, scale, bq, m_blk, res, do):
-    q5, k, v, q_segment_ids, kv_segment_ids, out, lse = res
+def _gqa_bwd_rule(scale, bq, m_blk, res, do):
+    q5, k, v, q_segment_ids, kv_segment_ids, q_offset, out, lse = res
     dq, dk, dv = _bwd_call(
         q5, k, v, q_segment_ids, kv_segment_ids, q_offset, scale, bq, m_blk,
         out, lse, do,
     )
-    return dq, dk, dv, None, None
+    return dq, dk, dv, None, None, None
 
 
 _gqa_attention.defvjp(_gqa_fwd_rule, _gqa_bwd_rule)

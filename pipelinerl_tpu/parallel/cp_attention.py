@@ -42,10 +42,19 @@ def make_cp_attention(
     cp_axis: str = "cp",
     tp_axis: str = "tp",
     block_kv: int = 1024,
+    impl: str = "blockwise",
 ):
     """Returns attn(q, k, v, segment_ids, position_ids) -> [B, L, H, Dh]
     matching the ``mha_packed`` contract, computed context-parallel over
-    ``cp_axis``."""
+    ``cp_axis``.
+
+    ``impl="gqa"`` runs the GQA-folded Pallas kernel inside the shard_map
+    (ops/gqa_attention.py — 2x over blockwise at 16k single-chip from
+    segment-disjoint block skipping; shard_map parity is test-covered in
+    interpret mode, tests/test_cp_attention.py). It stays OPT-IN
+    (finetune.cp_attn_impl) until a multi-chip TPU run validates
+    Mosaic-under-shard_map on real hardware — the default blockwise path
+    is proven at cp=8/32k."""
     tp = mesh.shape.get(tp_axis, 1)
     head_axis = tp_axis if (tp > 1 and num_kv_heads % tp == 0) else None
     q_spec = P(dp_axis, cp_axis, head_axis, None)
@@ -57,15 +66,25 @@ def make_cp_attention(
         vg = jax.lax.all_gather(vb, cp_axis, axis=1, tiled=True)
         segg = jax.lax.all_gather(segb, cp_axis, axis=1, tiled=True)
         q_offset = jax.lax.axis_index(cp_axis) * qb.shape[1]
+        if impl == "gqa":
+            from ..ops.gqa_attention import mha_packed_gqa
+
+            return mha_packed_gqa(qb, kg, vg, segb, segg, q_offset)
         return mha_packed_blockwise(
             qb, kg, vg, segb, segg, q_offset, None, block_kv
         )
 
+    extra = {}
+    if impl == "gqa":
+        # the Pallas call's out_shape carries no varying-mesh-axes info;
+        # skip the vma check (outputs vary over cp/tp exactly like q)
+        extra["check_vma"] = False
     sharded = shard_map(
         local,
         mesh=mesh,
         in_specs=(q_spec, kv_spec, kv_spec, seg_spec),
         out_specs=q_spec,
+        **extra,
     )
 
     def attn(q, k, v, segment_ids, position_ids=None, scale=None):

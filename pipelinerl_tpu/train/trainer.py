@@ -288,6 +288,9 @@ class TrainerLoop:
                     self.mesh,
                     num_kv_heads=model_cfg.num_kv_heads,
                     block_kv=int(cfg.finetune.get("cp_block_kv", 1024)),
+                    # "gqa" opts the cp path into the Pallas kernel (see
+                    # make_cp_attention docstring for why it isn't default)
+                    impl=str(cfg.finetune.get("cp_attn_impl", "blockwise")),
                 )
         max_step = self.max_train_steps
         # single-device long rows: never materialize the [L, V] fp32 logits

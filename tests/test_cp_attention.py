@@ -288,3 +288,40 @@ def test_cp_rl_loss_32k_trains():
         jnp.sqrt(sum(jnp.sum(g.astype(jnp.float32) ** 2) for g in jax.tree.leaves(grads)))
     )
     assert np.isfinite(gnorm) and gnorm > 0
+
+
+def test_cp_gqa_impl_parity():
+    """make_cp_attention(impl="gqa") — the Pallas kernel inside shard_map
+    (interpret mode) must match the unsharded XLA reference, grads
+    included, with the traced axis_index q_offset."""
+    import pipelinerl_tpu.ops.gqa_attention as gqa
+    from pipelinerl_tpu.ops.attention import mha_packed
+    from pipelinerl_tpu.parallel import make_mesh
+    from pipelinerl_tpu.parallel.cp_attention import make_cp_attention
+
+    gqa.INTERPRET = True
+    try:
+        mesh = make_mesh(n_devices=8, cp=4, tp=2)
+        B, L, H, K, Dh = 1, 512, 4, 2, 64
+        rng = np.random.default_rng(0)
+        q = jnp.asarray(rng.normal(size=(B, L, H, Dh)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(B, L, K, Dh)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(B, L, K, Dh)), jnp.float32)
+        seg = jnp.asarray((np.arange(L) // (L // 4)).astype(np.int32))[None]
+        pos = jnp.asarray((np.arange(L) % (L // 4)).astype(np.int32))[None]
+        attn = make_cp_attention(mesh, num_kv_heads=K, impl="gqa")
+        out = attn(q, k, v, seg)
+        ref = mha_packed(q, k, v, seg, pos)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-3, rtol=2e-3
+        )
+        g1 = jax.grad(lambda q, k, v: jnp.sum(attn(q, k, v, seg) ** 2),
+                      argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(lambda q, k, v: jnp.sum(mha_packed(q, k, v, seg, pos) ** 2),
+                      argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-3, rtol=5e-3
+            )
+    finally:
+        gqa.INTERPRET = False
