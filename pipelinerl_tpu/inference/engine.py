@@ -132,12 +132,15 @@ class EngineConfig:
     # attention role, SURVEY.md §2.4) — HBM holds only tokens that exist,
     # GRPO forks share the prompt's full pages, and admission reserves
     # prompt+max_tokens pages up front (no mid-flight OOM / preemption).
-    # "auto" currently resolves to SLAB at every max_len: measurement showed
-    # the paged pool's decode (page-gather) cost outweighs its capacity win
-    # (it admitted 2.1x the sequences at 0.5x the bytes but ran at a
-    # fraction of slab tok/s). Paged is opt-in (kv_layout=paged) for
-    # prefix-cache-heavy multi-turn serving. See the auto-resolution comment
-    # in __init__ for the measured numbers.
+    # "auto" currently resolves to SLAB at every max_len: slab remains the
+    # simplest fastest path for the shipped RL configs, and its parked-slot
+    # prefix reuse measured faster than the paged cache on the multi-turn
+    # workload. Paged decode is close behind since the window-amortized
+    # contiguous gather (round-5 probe: 0.88x slab tok/s at 0.5x the KV
+    # bytes with 2.1x the concurrent sequences; was 0.22x with the per-step
+    # table gather) — opt in with kv_layout=paged when long-tail capacity
+    # or page-shared forks matter more than the last 12% of tok/s. See the
+    # auto-resolution comment in __init__.
     kv_layout: str = "auto"
     kv_block_size: int = 128  # tokens per page
     # cross-request prefix reuse — the role vLLM's prefix caching plays for
@@ -307,13 +310,15 @@ class InferenceEngine:
 
         layout = cfg.kv_layout
         if layout == "auto":
-            # Slab wins on throughput decisively (builder round-4 probe:
-            # paged ran at ~0.22x slab tok/s even while admitting 2.1x the
-            # concurrent sequences at 0.5x the bytes — the capacity win did
-            # not pay for the page-gather decode cost on this hardware; the
-            # driver-captured numbers land in BENCH_r05 `paged_*` keys).
-            # Paged stays OPT-IN (kv_layout=paged) for prefix-cache-heavy
-            # multi-turn serving with cross-turn page reuse.
+            # Slab stays the default: it is still the fastest decode path
+            # and its parked-slot prefix reuse beats the paged cache on the
+            # shipped multi-turn configs. The gap is now small — the
+            # window-amortized contiguous gather (see _decode_window_paged_fn)
+            # brought paged decode from ~0.22x to ~0.88x slab tok/s while
+            # admitting 2.1x the concurrent sequences at 0.5x the KV bytes
+            # (round-5 probe; driver-captured numbers land in BENCH_r05
+            # `paged_*` keys). Opt in with kv_layout=paged when long-tail
+            # capacity / page-shared forks matter more than ~12% tok/s.
             layout = "slab"
         self.paged = layout == "paged"
 
@@ -2207,6 +2212,21 @@ class InferenceEngine:
                 )
         fn = self._decode_fn_for(window, needs_masking)
         if self.paged:
+            # Slice the table snapshot to the pow2-bucketed max pages any
+            # ACTIVE slot holds: the jitted window gathers a contiguous
+            # [L, S, maxb*BT, ...] view once per window, so the view (and
+            # its attention reads) should cover the active working set, not
+            # the pool-wide MAX_BLOCKS. jit re-traces per bucket — at most
+            # log2(MAX_BLOCKS) variants per window size, compile-cached.
+            table = self.block_pool.table
+            active_idx = np.flatnonzero(active)
+            mb = 1
+            if active_idx.size:
+                mb = max(1, int(self.block_pool.slot_blocks[active_idx].max()))
+            b = 1
+            while b < mb:
+                b *= 2
+            table = table[:, : min(b, table.shape[1])]
             (
                 packed,
                 self.k_pool,
@@ -2228,7 +2248,7 @@ class InferenceEngine:
                 jnp.asarray(temperature),
                 jnp.asarray(top_p),
                 jnp.asarray(top_k),
-                jnp.asarray(self.block_pool.table),
+                jnp.asarray(table),
                 jnp.asarray(self._slot_capacity.astype(np.int32)),
             )
         else:
@@ -2839,28 +2859,44 @@ def _decode_window_paged_fn(
     capacity: jnp.ndarray,  # [S] — reserved tokens per slot
 ):
     """Paged-layout decode window: same staged-band scan as
-    ``_decode_window_fn`` but attention reads the shared page pool through
-    the block table, and the window-end merge appends through the table
+    ``_decode_window_fn`` but attention reads the shared page pool — via a
+    once-per-window contiguous gather on the XLA path (amortizing the table
+    indirection over all n_steps) or through the block table per step on
+    the Pallas path — and the window-end merge appends through the table
     (ops/paged_attention.paged_append). Inactive slots append nothing —
     their table rows may already be released."""
-    from ..ops.paged_attention import (
-        paged_append,
-        paged_decode_attention,
-        paged_decode_attention_xla,
-    )
+    from ..ops.paged_attention import paged_append, paged_decode_attention
 
     S = tokens.shape[0]
-    BT = k_pool.shape[2]
+    NB, BT = k_pool.shape[1], k_pool.shape[2]
     MAXB = block_table.shape[1]
     L, K, Dh = k_pool.shape[0], k_pool.shape[3], k_pool.shape[4]
     tokens = jnp.where(pending_mask, first_info[:, 0], tokens)
     base_lens = cache_lens
-    attn_kernel = paged_decode_attention_xla if use_xla_attn else paged_decode_attention
 
-    def paged_attn(q, k, v, kc, vc, lens, ks, vs, step):
-        return attn_kernel(
-            q, k, v, kc, vc, block_table, lens, ks, vs, step
-        )
+    if use_xla_attn:
+        # Window-amortized contiguous view: gather each slot's pages ONCE
+        # per window into a slab-shaped [L, S, T, K, Dh] buffer and run the
+        # standard staged attention over it. The pool is frozen for the
+        # whole window (new tokens ride the staged band), so the gather is
+        # loop-invariant; amortized over n_steps its cost is ~1/W of the
+        # per-step table gather the round-3/4 paged path paid — that gather
+        # was the measured 0.22x-of-slab throughput cliff (BENCH_r04 era).
+        # The host dispatch slices block_table to the pow2-bucketed max
+        # pages any active slot holds, so T is the active working set, not
+        # the pool-wide max (inactive rows gather arbitrary pages and are
+        # fully masked by their lens / discarded by `active`).
+        table = jnp.clip(block_table, 0, NB - 1)
+        kc = jnp.take(k_pool, table, axis=1).reshape(L, S, MAXB * BT, K, Dh)
+        vc = jnp.take(v_pool, table, axis=1).reshape(L, S, MAXB * BT, K, Dh)
+        cache_k, cache_v, attn_impl = kc, vc, "xla"
+    else:
+        def paged_attn(q, k, v, kc, vc, lens, ks, vs, step):
+            return paged_decode_attention(
+                q, k, v, kc, vc, block_table, lens, ks, vs, step
+            )
+
+        cache_k, cache_v, attn_impl = k_pool, v_pool, paged_attn
 
     k_staged = jnp.zeros((L, n_steps, S, K, Dh), k_pool.dtype)
     v_staged = jnp.zeros((L, n_steps, S, K, Dh), v_pool.dtype)
@@ -2870,8 +2906,8 @@ def _decode_window_paged_fn(
         rng, sub = jax.random.split(rng)
         positions = jnp.minimum(base_lens + step, MAXB * BT - 1) + pos_delta
         logits, k_new, v_new = decode_step_staged(
-            params, model_cfg, tokens, positions, k_pool, v_pool,
-            base_lens, k_staged, v_staged, step, attn_impl=paged_attn,
+            params, model_cfg, tokens, positions, cache_k, cache_v,
+            base_lens, k_staged, v_staged, step, attn_impl=attn_impl,
         )
         k_staged = jax.lax.dynamic_update_slice(
             k_staged, k_new.astype(k_staged.dtype)[:, None], (0, step, 0, 0, 0)

@@ -121,6 +121,38 @@ def test_paged_pool_exhaustion_defers_admission():
     engine.stop()
 
 
+def test_paged_bucket_growth_and_shrink_parity():
+    """The decode dispatch slices the block table to the pow2-bucketed max
+    pages held by any ACTIVE slot (the window-amortized contiguous gather
+    reads only the active working set). Drive the bucket up (a long-budget
+    request joins) and back down (it retires) within one engine lifetime
+    and check greedy parity against slab across the re-traces."""
+    params, model_cfg = _model()
+    rng = np.random.default_rng(7)
+    short = rng.integers(1, 200, 6).tolist()  # ~3 pages reserved
+    long = rng.integers(1, 200, 9).tolist()  # 9 + 70 + 4 → 6 pages → bucket 8
+
+    def run(layout):
+        eng = _engine(params, model_cfg, layout)
+        outs = []
+        # phase 1: short request alone (small bucket)
+        outs += _drain(eng, [eng.submit(_greedy(short, max_tokens=8))])
+        # phase 2: short + long in flight together (bucket grows mid-run)
+        f_long = eng.submit(_greedy(long, max_tokens=70))
+        f_short = eng.submit(_greedy(short, max_tokens=8))
+        outs += _drain(eng, [f_long, f_short])
+        # phase 3: long retired — bucket shrinks back
+        outs += _drain(eng, [eng.submit(_greedy(short, max_tokens=8))])
+        eng.stop()
+        return outs
+
+    ref = run("slab")
+    got = run("paged")
+    for r, g in zip(ref, got):
+        assert g.token_ids == r.token_ids, (r.token_ids, g.token_ids)
+        assert g.finish_reason == r.finish_reason
+
+
 def test_paged_counters_and_abort():
     params, model_cfg = _model()
     rng = np.random.default_rng(3)
