@@ -153,6 +153,29 @@ def test_paged_bucket_growth_and_shrink_parity():
         assert g.finish_reason == r.finish_reason
 
 
+def test_paged_pallas_kernel_path_parity():
+    """decode_attn_impl="ragged" routes the paged window through the Pallas
+    page-table kernel (not the contiguous-gather XLA path). The host-side
+    block-table slice must keep that kernel's grid/index maps consistent —
+    greedy parity against slab on a bucket-sized workload (interpret mode
+    on CPU)."""
+    params, model_cfg = _model()
+    rng = np.random.default_rng(11)
+    prompts = [rng.integers(1, 200, n).tolist() for n in (5, 19)]
+
+    slab = _engine(params, model_cfg, "slab")
+    ref = _drain(slab, [slab.submit(_greedy(p, max_tokens=6)) for p in prompts])
+    slab.stop()
+
+    paged = _engine(params, model_cfg, "paged", decode_attn_impl="ragged")
+    got = _drain(paged, [paged.submit(_greedy(p, max_tokens=6)) for p in prompts])
+    paged.stop()
+
+    for r, g in zip(ref, got):
+        assert g.token_ids == r.token_ids, (r.token_ids, g.token_ids)
+        assert g.finish_reason == r.finish_reason
+
+
 def test_paged_counters_and_abort():
     params, model_cfg = _model()
     rng = np.random.default_rng(3)
