@@ -223,7 +223,11 @@ def test_gspo_psum_path_shard_map_parity():
     shard boundaries, so the per-shard segment sums are partial and the
     psum is load-bearing."""
     from jax.sharding import Mesh, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+
+    try:  # jax >= 0.8 top-level; experimental path is deprecated
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
 
     n_shards = 4
     L = 32  # 8 tokens per shard
@@ -281,7 +285,7 @@ def test_gspo_psum_path_shard_map_parity():
         mesh=mesh,
         in_specs=(P(None, "cp", None), shard_specs),
         out_specs=P("cp"),
-        check_rep=False,
+        check_vma=False,
     )
 
     def cp_loss(lg):
